@@ -1,0 +1,14 @@
+"""Code construction: base graphs, QC lifting, layout compiler (L0)."""
+
+from tpu_ldpc.codes.base_graphs import (  # noqa: F401
+    FAMILY_LIFTS,
+    count_4cycles,
+    count_6cycles,
+    family_base_graph,
+    girth_lower_bound,
+    judged_base_graph,
+    make_base_graph,
+    select_shifts,
+)
+from tpu_ldpc.codes.code import LdpcCode  # noqa: F401
+from tpu_ldpc.codes.expand import expand, rotate  # noqa: F401

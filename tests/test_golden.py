@@ -92,8 +92,12 @@ class TestHamming:
         bits, ok, _ = decode(H_HAMMING, llr, algo=algo, iters=50)
         ml_fer = (ml != c).any(axis=1).mean()
         bp_fer = (bits != c).any(axis=1).mean()
-        assert bp_fer >= ml_fer - 1e-12  # ML is optimal
-        assert bp_fer <= ml_fer + 0.08  # BP close to ML on this tiny code
+        # BP tracks ML closely on this tiny code.  (Strict bp_fer >= ml_fer
+        # holds only in expectation — on a finite sample BP can output the
+        # transmitted word where ML happens to pick another codeword.)
+        agree = (bits == ml).all(axis=1).mean()
+        assert agree >= 0.97
+        assert abs(bp_fer - ml_fer) <= 0.03
 
 
 class TestToyQC:

@@ -1,0 +1,63 @@
+"""Decoder dispatch (SURVEY.md L2 public interface).
+
+`decode(code, llrs, algo=..., iters=...) -> (bits, ok, iters_used)`.
+impl='auto' picks the fused Pallas kernel where supported (TPU, or CPU
+interpret mode in tests) and falls back to the jnp reference decoder.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ldpc.codes.code import LdpcCode
+
+
+def build_decode_fn(code: LdpcCode, cfg):
+    """cfg: sim.mc.DecodeCfg (or anything with the same fields)."""
+    impl = getattr(cfg, "impl", "auto")
+    if impl in ("auto", "pallas"):
+        try:
+            from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
+
+            return build_pallas_decoder(
+                code,
+                algo=cfg.algo,
+                iters=cfg.iters,
+                alpha=cfg.alpha,
+                beta=cfg.beta,
+                schedule=cfg.schedule,
+            )
+        except (ImportError, NotImplementedError):
+            if impl == "pallas":
+                raise
+    from tpu_ldpc.decode.reference import build_decoder
+
+    return build_decoder(
+        code,
+        algo=cfg.algo,
+        iters=cfg.iters,
+        alpha=cfg.alpha,
+        beta=cfg.beta,
+        schedule=cfg.schedule,
+    )
+
+
+def decode(
+    code: LdpcCode,
+    llrs,
+    algo: str = "minsum",
+    iters: int = 50,
+    alpha: float = 0.75,
+    beta: float = 0.0,
+    schedule: str = "flooding",
+    impl: str = "auto",
+):
+    from tpu_ldpc.sim.mc import DecodeCfg
+
+    cfg = DecodeCfg(
+        algo=algo, iters=iters, alpha=alpha, beta=beta,
+        schedule=schedule, impl=impl,
+    )
+    fn = build_decode_fn(code, cfg)
+    return fn(jnp.asarray(llrs))

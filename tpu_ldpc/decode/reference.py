@@ -1,0 +1,216 @@
+"""Pure-jnp reference BP decoders (SURVEY.md M1): correctness before speed.
+
+XLA-compiled (CPU or TPU), no Pallas.  Follows the golden arithmetic
+contract (tpu_ldpc/golden/decoder.py docstring) exactly, so min-sum in
+float32 is bit-exact against the golden model given identical LLRs:
+
+  * per-edge CN->VN messages R kept in *check coordinates*: R[e][r] is
+    the message from check r of block-row bi[e] to variable
+    (r + shift[e]) % Z of block-col bj[e];
+  * circulant gathers are jnp.roll along the Z axis (variable->check:
+    roll(v, -s); check->variable: roll(r, +s));
+  * two-min via a sequential scan in edge order (first-occurrence
+    argmin), VN sums accumulated sequentially in ascending block-row
+    order.
+
+Array shapes: LLR (batch, n) -> internal (batch, nb, Z); R (batch, E, Z).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ldpc.codes.code import LdpcCode
+from tpu_ldpc.golden.decoder import SP_MAX_MAG, SP_MIN_MAG
+
+
+def _block_structure(code: LdpcCode):
+    """Static (trace-time) protograph structure, edges sorted by (row, col)."""
+    B = code.B
+    mb, nb = B.shape
+    edges = [(i, j, int(B[i, j])) for i in range(mb) for j in range(nb) if B[i, j] >= 0]
+    row_edges = [[e for e, (i, _, _) in enumerate(edges) if i == r] for r in range(mb)]
+    col_edges = [[e for e, (_, j, _) in enumerate(edges) if j == c] for c in range(nb)]
+    return edges, row_edges, col_edges
+
+
+def _phi_jnp(x):
+    x = jnp.clip(x, SP_MIN_MAG, SP_MAX_MAG)
+    return -jnp.log(jnp.tanh(x * 0.5))
+
+
+def _cn_minsum(qs, alpha, beta):
+    """Two-min CN update matching the golden scan semantics.
+
+    qs: list of (batch, Z) VN->CN messages for one block-row.
+    Returns list of (batch, Z) CN->VN messages.
+    """
+    d = len(qs)
+    mags = [jnp.abs(q) for q in qs]
+    sgns = [jnp.where(q < 0, -1.0, 1.0).astype(q.dtype) for q in qs]
+    big = jnp.full_like(mags[0], jnp.inf)
+    min1, min2 = mags[0], big
+    argmin = jnp.zeros_like(mags[0], dtype=jnp.int32)
+    for e in range(1, d):
+        m = mags[e]
+        is_new_min = m < min1
+        min2 = jnp.where(is_new_min, min1, jnp.minimum(min2, m))
+        argmin = jnp.where(is_new_min, e, argmin)
+        min1 = jnp.where(is_new_min, m, min1)
+    total_sign = sgns[0]
+    for e in range(1, d):
+        total_sign = total_sign * sgns[e]
+    if d == 1:
+        min2 = min1  # golden: single-edge row sends its own magnitude
+    outs = []
+    for e in range(d):
+        mag_excl = jnp.where(argmin == e, min2, min1)
+        mag_excl = jnp.maximum(mag_excl - beta, 0.0)
+        outs.append((total_sign * sgns[e]) * (alpha * mag_excl))
+    return outs
+
+
+def _cn_sumproduct(qs):
+    d = len(qs)
+    mags = [jnp.abs(q) for q in qs]
+    sgns = [jnp.where(q < 0, -1.0, 1.0).astype(q.dtype) for q in qs]
+    phis = [_phi_jnp(m) for m in mags]
+    tot = phis[0]
+    for e in range(1, d):
+        tot = tot + phis[e]
+    total_sign = sgns[0]
+    for e in range(1, d):
+        total_sign = total_sign * sgns[e]
+    return [(total_sign * sgns[e]) * _phi_jnp(tot - phis[e]) for e in range(d)]
+
+
+def _syndrome_ok(P, edges, row_edges, Z):
+    """(batch,) bool: H @ hard(P) == 0, via rolled XOR over block-rows."""
+    bits = (P < 0).astype(jnp.int32)  # (batch, nb, Z)
+    ok = None
+    for r, es in enumerate(row_edges):
+        acc = None
+        for e in es:
+            _, j, s = edges[e]
+            v = jnp.roll(bits[:, j, :], -s, axis=-1)
+            acc = v if acc is None else acc + v
+        row_ok = jnp.all(acc % 2 == 0, axis=-1)
+        ok = row_ok if ok is None else (ok & row_ok)
+    return ok
+
+
+@functools.lru_cache(maxsize=64)
+def build_decoder(
+    code: LdpcCode,
+    algo: str = "minsum",
+    iters: int = 50,
+    alpha: float = 0.75,
+    beta: float = 0.0,
+    schedule: str = "flooding",
+    early_stop: bool = True,
+    dtype=jnp.float32,
+):
+    """Build a jitted jnp decoder: llr (batch, n) -> (bits, ok, iters_used)."""
+    if algo not in ("minsum", "sumproduct"):
+        raise ValueError(f"unknown algo {algo!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    edges, row_edges, col_edges = _block_structure(code)
+    Z, nb, mb, k = code.Z, code.nb, code.mb, code.k
+    E = len(edges)
+
+    def cn_update(qs):
+        if algo == "minsum":
+            return _cn_minsum(qs, alpha, beta)
+        return _cn_sumproduct(qs)
+
+    def flooding_iter(L, P, R):
+        # CN pass (per block-row), R in check coordinates
+        R_new = [None] * E
+        for i in range(mb):
+            qs = []
+            for e in row_edges[i]:
+                _, j, s = edges[e]
+                p_rot = jnp.roll(P[:, j, :], -s, axis=-1)
+                qs.append(p_rot - R[:, e, :])
+            for e, r_out in zip(row_edges[i], cn_update(qs)):
+                R_new[e] = r_out
+        R_new = jnp.stack(R_new, axis=1)
+        # VN pass: sequential accumulation in ascending block-row order
+        cols = []
+        for j in range(nb):
+            p = L[:, j, :]
+            for e in col_edges[j]:
+                _, _, s = edges[e]
+                p = p + jnp.roll(R_new[:, e, :], s, axis=-1)
+            cols.append(p)
+        return jnp.stack(cols, axis=1), R_new
+
+    def layered_iter(L, P, R):
+        del L
+        for i in range(mb):
+            qs = []
+            for e in row_edges[i]:
+                _, j, s = edges[e]
+                p_rot = jnp.roll(P[:, j, :], -s, axis=-1)
+                qs.append(p_rot - R[:, e, :])
+            outs = cn_update(qs)
+            for e, q, r_out in zip(row_edges[i], qs, outs):
+                _, j, s = edges[e]
+                P = P.at[:, j, :].set(jnp.roll(q + r_out, s, axis=-1))
+                R = R.at[:, e, :].set(r_out)
+        return P, R
+
+    iteration = flooding_iter if schedule == "flooding" else layered_iter
+
+    @jax.jit
+    def decode_fn(llr):
+        llr = llr.astype(dtype)
+        batch = llr.shape[0]
+        L = llr.reshape(batch, nb, Z)
+        P = L
+        R = jnp.zeros((batch, E, Z), dtype=dtype)
+        done0 = _syndrome_ok(P, edges, row_edges, Z) if early_stop else jnp.zeros(
+            batch, dtype=bool
+        )
+        iters_used0 = jnp.where(done0, 0, iters).astype(jnp.int32)
+
+        def body(it, carry):
+            P, R, done, iu = carry
+            P_new, R_new = iteration(L, P, R)
+            keep = done[:, None, None]
+            P = jnp.where(keep, P, P_new)
+            R = jnp.where(keep, R, R_new)
+            ok_now = _syndrome_ok(P, edges, row_edges, Z)
+            newly = ok_now & ~done
+            iu = jnp.where(newly, it, iu)
+            done = done | ok_now
+            return P, R, done, iu
+
+        if early_stop:
+            P, R, done, iu = jax.lax.fori_loop(
+                1, iters + 1, body, (P, R, done0, iters_used0)
+            )
+            ok = done
+        else:
+            def body_ne(it, carry):
+                P, R = carry
+                return iteration(L, P, R)
+
+            P, R = jax.lax.fori_loop(1, iters + 1, body_ne, (P, R))
+            ok = _syndrome_ok(P, edges, row_edges, Z)
+            iu = jnp.full(batch, iters, dtype=jnp.int32)
+        bits = (P < 0).reshape(batch, nb * Z).astype(jnp.uint8)
+        return bits, ok, iu
+
+    return decode_fn
+
+
+def decode(code: LdpcCode, llr, **kw):
+    """Convenience wrapper: decode a batch of LLRs with the jnp decoder."""
+    fn = build_decoder(code, **kw)
+    return fn(jnp.asarray(llr))

@@ -1,7 +1,7 @@
 """Golden NumPy belief-propagation decoders.
 
 This module is the ground truth for the whole framework (SURVEY.md C16):
-an explicit, slow, trustworthy implementation of sum-product and
+an explicit, trustworthy implementation of sum-product and
 normalized/offset min-sum decoding with true sequential early-termination
 semantics.  Every device decoder (jnp reference, Pallas kernels) is tested
 against it — for min-sum with ``dtype=np.float32`` the comparison is
@@ -13,8 +13,9 @@ Arithmetic contract (shared by golden / jnp / Pallas decoders):
     accumulated sequentially in **increasing row order** (for a QC code
     this equals increasing block-row order).
   * VN->CN message: Q[i,j] = P[j] - R[i,j]   (subtract-extrinsic form).
-  * Min-sum CN update: two-min + sign product over the row, then
-    R_new = alpha * max(min_excl - beta, 0) * sign_excl.
+  * Min-sum CN update: sequential two-min scan in edge order (ties keep
+    the first-occurrence argmin) + sign product over the row, then
+    R_new = alpha * max(min_excl - beta, 0) * (total_sign * sign_e).
     min/compare/multiply are exact in fp32 given identical inputs.
   * Hard decision: bit = 1 iff P < 0  (ties decode to 0).
   * Early termination: syndrome H@hard(P) checked on the channel LLRs
@@ -23,6 +24,11 @@ Arithmetic contract (shared by golden / jnp / Pallas decoders):
     index at which the syndrome was zero (0 if the raw channel decision
     already satisfies H, ``iters`` if never).
 
+The implementation pads rows/columns to uniform degree and runs the CN
+two-min scan and VN accumulation as vectorized *slot* loops — the slot
+order equals edge order, so the sequential-order contract is preserved
+exactly while staying fast enough to pair-test full-size codes.
+
 Sum-product uses the stable sign/log-magnitude form with the same
 clipping constants as the device decoders (compare with fp tolerance,
 not bit-exactness).
@@ -30,13 +36,14 @@ not bit-exactness).
 
 from __future__ import annotations
 
+
+
 import numpy as np
 import scipy.sparse as sp
 
 # Sum-product stability clips, shared verbatim with the device decoders.
 SP_MIN_MAG = 1e-9     # lower clip on |Q| before phi()
 SP_MAX_MAG = 30.0     # upper clip on |Q|; tanh(15) saturates fp32 anyway
-MSG_CLIP = 1e9        # generic overflow guard (no-op in practice)
 
 
 def _phi(x: np.ndarray) -> np.ndarray:
@@ -45,11 +52,36 @@ def _phi(x: np.ndarray) -> np.ndarray:
     return -np.log(np.tanh(x / 2.0))
 
 
-def _edges_of(H) -> tuple[np.ndarray, np.ndarray]:
-    """Return (rows, cols) of H's nonzeros sorted by (row, col)."""
-    Hc = sp.coo_matrix(H)
-    order = np.lexsort((Hc.col, Hc.row))
-    return Hc.row[order].astype(np.int64), Hc.col[order].astype(np.int64)
+class _Graph:
+    """Padded slot structure of H's Tanner graph, edges sorted by (row, col)."""
+
+    def __init__(self, H):
+        Hc = sp.coo_matrix(H)
+        order = np.lexsort((Hc.col, Hc.row))
+        self.rows = Hc.row[order].astype(np.int64)
+        self.cols = Hc.col[order].astype(np.int64)
+        self.m, self.n = Hc.shape
+        self.E = len(self.rows)
+        self.row_slots, self.row_mask = _pad_slots(self.rows, self.m, self.E)
+        self.col_slots, self.col_mask = _pad_slots(self.cols, self.n, self.E)
+
+
+def _pad_slots(owner: np.ndarray, count: int, E: int):
+    """owner: (E,) sorted group ids -> (count, max_deg) edge-index table."""
+    deg = np.bincount(owner, minlength=count)
+    max_deg = int(deg.max()) if E else 0
+    slots = np.zeros((count, max_deg), dtype=np.int64)
+    mask = np.zeros((count, max_deg), dtype=bool)
+    # edge indices grouped by owner, in edge order (owner is sorted for rows;
+    # for cols we need ascending row order per col — achieved by stable argsort)
+    idx = np.argsort(owner, kind="stable")
+    pos = np.zeros(count, dtype=np.int64)
+    for e in idx:
+        o = owner[e]
+        slots[o, pos[o]] = e
+        mask[o, pos[o]] = True
+        pos[o] += 1
+    return slots, mask
 
 
 def syndrome_ok(H, bits: np.ndarray) -> np.ndarray:
@@ -57,6 +89,51 @@ def syndrome_ok(H, bits: np.ndarray) -> np.ndarray:
     Hcsr = sp.csr_matrix(H).astype(np.int64)
     syn = np.asarray((Hcsr @ bits.T) % 2)
     return ~np.any(syn, axis=0)
+
+
+def _cn_pass(Q: np.ndarray, g: _Graph, algo: str, alpha, beta, dtype):
+    """Vectorized CN update for all rows. Q: (E,) -> R_new: (E,)."""
+    mag = np.abs(Q)
+    sign = np.where(Q < 0, dtype(-1.0), dtype(1.0))
+    slot_mag = np.where(g.row_mask, mag[g.row_slots], np.inf).astype(dtype)
+    slot_sign = np.where(g.row_mask, sign[g.row_slots], dtype(1.0))
+    max_deg = g.row_slots.shape[1]
+    if algo == "minsum":
+        # sequential two-min scan over slots == edge order per row
+        min1 = slot_mag[:, 0].copy()
+        min2 = np.full(g.m, np.inf, dtype=dtype)
+        argmin = np.zeros(g.m, dtype=np.int64)
+        for t in range(1, max_deg):
+            mt = slot_mag[:, t]
+            new = mt < min1
+            min2 = np.where(new, min1, np.minimum(min2, mt))
+            argmin = np.where(new, t, argmin)
+            min1 = np.where(new, mt, min1)
+        # degree-1 rows: golden semantics sends own magnitude
+        deg1 = ~g.row_mask[:, 1] if max_deg > 1 else np.ones(g.m, dtype=bool)
+        min2 = np.where(deg1, min1, min2)
+        total_sign = np.prod(slot_sign, axis=1)
+        slot_t = np.arange(max_deg)[None, :]
+        mag_excl = np.where(slot_t == argmin[:, None], min2[:, None], min1[:, None])
+        mag_excl = np.maximum(mag_excl - dtype(beta), dtype(0.0))
+        out = (total_sign[:, None] * slot_sign) * (dtype(alpha) * mag_excl)
+    else:  # sumproduct
+        ph = np.where(g.row_mask, _phi(slot_mag.astype(np.float64)), 0.0)
+        tot = np.sum(ph, axis=1, keepdims=True)
+        total_sign = np.prod(slot_sign, axis=1)
+        out = (total_sign[:, None] * slot_sign) * _phi(tot - ph).astype(dtype)
+    R_new = np.empty(g.E, dtype=dtype)
+    R_new[g.row_slots[g.row_mask]] = out[g.row_mask]
+    return R_new
+
+
+def _vn_pass(L: np.ndarray, R: np.ndarray, g: _Graph, dtype):
+    """P[j] = L[j] + sum_t R[slot_t]; sequential over slots (asc. row order)."""
+    P = L.copy()
+    for t in range(g.col_slots.shape[1]):
+        valid = g.col_mask[:, t]
+        P[valid] = P[valid] + R[g.col_slots[valid, t]]
+    return P
 
 
 def decode(
@@ -78,7 +155,7 @@ def decode(
       algo: 'minsum' (normalized/offset) or 'sumproduct'.
       iters: max iterations.
       alpha, beta: min-sum normalization / offset (alpha=1, beta=0 => plain).
-      schedule: 'flooding' or 'layered' (row-layered, rows in ascending order).
+      schedule: 'flooding' or 'layered' (row-layered, rows ascending).
       dtype: working precision (float64 default; float32 for bit-exact
         comparison against device kernels).
       early_stop: freeze converged codewords (sequential semantics).
@@ -92,101 +169,72 @@ def decode(
         raise ValueError(f"unknown schedule {schedule!r}")
     if algo not in ("minsum", "sumproduct"):
         raise ValueError(f"unknown algo {algo!r}")
+    dtype = np.dtype(dtype).type
     llr = np.asarray(llr, dtype=dtype)
     if llr.ndim == 1:
         llr = llr[None, :]
     batch, n = llr.shape
-    rows, cols = _edges_of(H)
-    m = sp.csr_matrix(H).shape[0]
-    n_edges = len(rows)
-
-    # Per-row and per-col edge index lists (edges sorted by (row, col)).
-    row_edges = [np.nonzero(rows == i)[0] for i in range(m)]
-    # col_edges[j] is automatically in increasing row order because edges
-    # are sorted by (row, col) and we select a fixed col.
-    col_edges = [np.nonzero(cols == j)[0] for j in range(n)]
+    g = _Graph(H)
+    assert g.n == n, (g.n, n)
+    Hcsr = sp.csr_matrix(H).astype(np.int64)
 
     bits_out = np.zeros((batch, n), dtype=np.uint8)
     ok_out = np.zeros(batch, dtype=bool)
     iters_out = np.full(batch, iters, dtype=np.int32)
 
-    alpha = dtype(alpha)
-    beta = dtype(beta)
-
     for b in range(batch):
         L = llr[b]
-        R = np.zeros(n_edges, dtype=dtype)  # CN->VN messages
-        P = L.copy()                        # posterior
+        R = np.zeros(g.E, dtype=dtype)
+        P = L.copy()
 
         def hard(p):
             return (p < 0).astype(np.uint8)
 
         def syn_ok(p):
-            bits = hard(p)
-            for i in range(m):
-                if int(np.sum(bits[cols[row_edges[i]]])) % 2 != 0:
-                    return False
-            return True
+            return not (np.asarray(Hcsr @ hard(p)) % 2).any()
 
-        # Iteration-0 check on the raw channel decision.
         if early_stop and syn_ok(P):
-            bits_out[b] = hard(P)
-            ok_out[b] = True
-            iters_out[b] = 0
+            bits_out[b], ok_out[b], iters_out[b] = hard(P), True, 0
             continue
 
         converged = False
         for it in range(1, iters + 1):
             if schedule == "flooding":
-                # CN pass from Q = P - R (P from previous iteration).
-                Q = P[cols] - R
-                for i in range(m):
-                    e = row_edges[i]
-                    R[e] = _cn_update(Q[e], algo, alpha, beta, dtype)
-                # VN pass: sequential accumulation in increasing row order.
-                for j in range(n):
-                    p = L[j]
-                    for e in col_edges[j]:
-                        p = p + R[e]
-                    P[j] = p
-            else:  # layered: rows updated sequentially, posterior in place
-                for i in range(m):
-                    e = row_edges[i]
-                    q = P[cols[e]] - R[e]
-                    r_new = _cn_update(q, algo, alpha, beta, dtype)
-                    P[cols[e]] = q + r_new
+                Q = P[g.cols] - R
+                R = _cn_pass(Q, g, algo, alpha, beta, dtype)
+                P = _vn_pass(L, R, g, dtype)
+            else:  # layered: rows sequentially, posterior updated in place
+                for i in range(g.m):
+                    e = g.row_slots[i][g.row_mask[i]]
+                    q = P[g.cols[e]] - R[e]
+                    r_new = _cn_update_row(q, algo, alpha, beta, dtype)
+                    P[g.cols[e]] = q + r_new
                     R[e] = r_new
             if early_stop and syn_ok(P):
-                bits_out[b] = hard(P)
-                ok_out[b] = True
-                iters_out[b] = it
+                bits_out[b], ok_out[b], iters_out[b] = hard(P), True, it
                 converged = True
                 break
         if not converged:
             bits_out[b] = hard(P)
-            ok_out[b] = bool(syn_ok(P)) if not early_stop else False
             iters_out[b] = iters
-            if not early_stop:
-                # without early stop we still report final syndrome status
-                ok_out[b] = syn_ok(P)
+            ok_out[b] = syn_ok(P) if not early_stop else False
     return bits_out, ok_out, iters_out
 
 
-def _cn_update(q: np.ndarray, algo: str, alpha, beta, dtype) -> np.ndarray:
-    """Extrinsic CN->VN messages for one check row. q: (deg,)."""
+def _cn_update_row(q: np.ndarray, algo: str, alpha, beta, dtype) -> np.ndarray:
+    """Extrinsic CN->VN messages for one check row (layered path). q: (deg,)."""
     sign = np.where(q < 0, dtype(-1.0), dtype(1.0))
     mag = np.abs(q)
     total_sign = np.prod(sign)
     if algo == "minsum":
-        # two-min trick, exact arithmetic
         order = np.argsort(mag, kind="stable")
         min1_idx = order[0]
         min1 = mag[min1_idx]
         min2 = mag[order[1]] if len(mag) > 1 else min1
         mag_excl = np.where(np.arange(len(mag)) == min1_idx, min2, min1)
-        mag_excl = np.maximum(mag_excl - beta, dtype(0.0))
-        out = alpha * mag_excl
-    else:  # sumproduct, stable phi form
+        mag_excl = np.maximum(mag_excl - dtype(beta), dtype(0.0))
+        out = dtype(alpha) * mag_excl
+    else:
         ph = _phi(mag.astype(np.float64)).astype(dtype)
         tot = np.sum(ph)
         out = _phi((tot - ph).astype(np.float64)).astype(dtype)

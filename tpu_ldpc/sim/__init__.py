@@ -1,0 +1,3 @@
+"""Monte-Carlo BER/FER harness (L3)."""
+
+from tpu_ldpc.sim.mc import DecodeCfg, SnrResult, build_mc_step, fold_key, run_ber  # noqa: F401

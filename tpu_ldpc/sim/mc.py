@@ -1,0 +1,172 @@
+"""Monte-Carlo BER/FER harness (SURVEY.md C10/C11, call stack §3.1).
+
+Structure: a jitted per-device MC step (PRNG -> encode -> BPSK/AWGN ->
+decode -> counter reduction) driven by a host control loop with
+frame-error-targeted stopping per Eb/N0 point.  Host<->device traffic
+per step is O(counters).
+
+PRNG discipline (C11): every batch's key is folded from
+(base_seed, snr_index, batch_counter [, device index when sharded]), so
+resumed, re-batched, or multi-device runs draw from the same per-cell
+streams instead of reshuffling one global stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ldpc.channel.awgn import awgn_llrs
+from tpu_ldpc.codes.code import LdpcCode
+from tpu_ldpc.encode.encoder import build_encoder
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeCfg:
+    algo: str = "minsum"
+    iters: int = 50
+    alpha: float = 0.75
+    beta: float = 0.0
+    schedule: str = "flooding"
+    impl: str = "auto"  # 'auto' | 'jnp' | 'pallas'
+
+
+COUNTER_FIELDS = (
+    "frames",
+    "bit_errors",      # over info bits
+    "frame_errors",    # any info bit wrong
+    "detected",        # decoder reported not-ok (syndrome unsatisfied)
+    "undetected",      # syndrome ok but wrong codeword
+    "iter_sum",        # sum of iters_used
+)
+
+
+@dataclasses.dataclass
+class SnrResult:
+    ebn0_db: float
+    frames: int = 0
+    bit_errors: int = 0
+    frame_errors: int = 0
+    detected: int = 0
+    undetected: int = 0
+    iter_sum: int = 0
+    wall_s: float = 0.0
+
+    @property
+    def fer(self) -> float:
+        return self.frame_errors / max(self.frames, 1)
+
+    @property
+    def ber(self) -> float:
+        # info-bit error rate; k filled in by the harness via bits_per_frame
+        return self.bit_errors / max(self.bits, 1)
+
+    bits: int = 0
+
+    @property
+    def mean_iters(self) -> float:
+        return self.iter_sum / max(self.frames, 1)
+
+
+def fold_key(base_seed: int, snr_idx: int, batch_ctr: int) -> jax.Array:
+    key = jax.random.key(base_seed)
+    key = jax.random.fold_in(key, snr_idx)
+    return jax.random.fold_in(key, batch_ctr)
+
+
+@functools.lru_cache(maxsize=64)
+def build_mc_step(code: LdpcCode, cfg: DecodeCfg, batch: int, ebn0_db: float):
+    """Jitted MC step: key -> counter vector (len COUNTER_FIELDS,) int64."""
+    from tpu_ldpc.decode.api import build_decode_fn
+
+    encode_fn = build_encoder(code, "generator")
+    decode_fn = build_decode_fn(code, cfg)
+    k, rate = code.k, code.rate
+
+    @jax.jit
+    def step(key):
+        key_u, key_n = jax.random.split(key)
+        u = jax.random.bernoulli(key_u, 0.5, (batch, k)).astype(jnp.uint8)
+        c = encode_fn(u)
+        llr = awgn_llrs(key_n, c, ebn0_db, rate)
+        bits, ok, iters_used = decode_fn(llr)
+        info = bits[:, :k]
+        wrong = info != u
+        bit_err = jnp.sum(wrong, dtype=jnp.int32)
+        frame_wrong = jnp.any(wrong, axis=1)
+        frame_err = jnp.sum(frame_wrong, dtype=jnp.int32)
+        detected = jnp.sum(~ok, dtype=jnp.int32)
+        undetected = jnp.sum(ok & frame_wrong, dtype=jnp.int32)
+        return jnp.stack(
+            [
+                jnp.asarray(batch, jnp.int32),
+                bit_err,
+                frame_err,
+                detected,
+                undetected,
+                jnp.sum(iters_used, dtype=jnp.int32),
+            ]
+        )
+
+    return step
+
+
+def run_ber(
+    code: LdpcCode,
+    ebn0_grid: Sequence[float],
+    cfg: DecodeCfg = DecodeCfg(),
+    batch: int = 256,
+    target_frame_errors: int = 100,
+    max_frames: int = 1_000_000,
+    seed: int = 0,
+    mesh=None,
+    progress: bool = False,
+    state=None,
+) -> list[SnrResult]:
+    """Frame-error-targeted Eb/N0 sweep.  Single-device unless `mesh`
+    is given (then the batch is sharded; see tpu_ldpc.dist)."""
+    if mesh is not None:
+        from tpu_ldpc.dist.mesh import run_ber_sharded
+
+        return run_ber_sharded(
+            code, ebn0_grid, cfg, batch, target_frame_errors, max_frames,
+            seed, mesh, progress=progress, state=state,
+        )
+    results = []
+    for snr_idx, ebn0 in enumerate(ebn0_grid):
+        step = build_mc_step(code, cfg, batch, float(ebn0))
+        res = SnrResult(ebn0_db=float(ebn0))
+        batch_ctr = 0
+        if state is not None:
+            saved = state.load_point(snr_idx)
+            if saved is not None:
+                res, batch_ctr = saved
+        t0 = time.perf_counter()
+        while res.frame_errors < target_frame_errors and res.frames < max_frames:
+            key = fold_key(seed, snr_idx, batch_ctr)
+            counters = np.asarray(jax.device_get(step(key)))
+            res.frames += int(counters[0])
+            res.bit_errors += int(counters[1])
+            res.frame_errors += int(counters[2])
+            res.detected += int(counters[3])
+            res.undetected += int(counters[4])
+            res.iter_sum += int(counters[5])
+            batch_ctr += 1
+            if state is not None:
+                state.save_point(snr_idx, res, batch_ctr)
+        res.wall_s += time.perf_counter() - t0
+        res.bits = res.frames * code.k
+        results.append(res)
+        if progress:
+            print(
+                f"Eb/N0 {ebn0:5.2f} dB: frames={res.frames} "
+                f"FER={res.fer:.3e} BER={res.ber:.3e} "
+                f"mean_iters={res.mean_iters:.1f}"
+            )
+    return results

@@ -7,16 +7,26 @@ Pallas kernels run under interpret mode on CPU.
 
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS must be set before the CPU backend initializes
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# this environment force-registers a TPU ("axon") PJRT plugin via
+# sitecustomize and prepends it to jax_platforms; override it so tests
+# run on the CPU backend with 8 virtual devices regardless
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,131 @@
+"""Distribution tests on 8 fake CPU devices (SURVEY.md §4.5/4.6).
+
+Validates the full shard_map + psum path without a pod: counter totals,
+PRNG superset discipline, replicated-control determinism.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ldpc.channel import awgn_llrs
+from tpu_ldpc.codes import LdpcCode, make_base_graph
+from tpu_ldpc.dist.mesh import (
+    build_sharded_mc_step,
+    fold_key_device,
+    make_mesh,
+    run_ber_sharded,
+)
+from tpu_ldpc.encode import encode
+from tpu_ldpc.golden import decode as golden_decode
+from tpu_ldpc.sim import DecodeCfg, run_ber
+
+
+def toy_code():
+    return LdpcCode.from_base_graph(make_base_graph(4, 8, 4, seed=7), 4, "toy")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh(jax.devices())
+
+
+def _step_args(seed, snr_idx, batch_ctr):
+    return [jnp.asarray([v], jnp.int32) for v in (seed, snr_idx, batch_ctr)]
+
+
+def test_psum_counters_match_per_device_replay(mesh):
+    """8-device psum totals == sum of 8 host-side golden replays."""
+    code = toy_code()
+    cfg = DecodeCfg(algo="minsum", iters=20, impl="jnp")
+    per_dev = 16
+    step = build_sharded_mc_step(code, cfg, per_dev, 4.0, mesh)
+    counters = np.asarray(jax.device_get(step(*_step_args(3, 1, 2))))
+
+    totals = np.zeros(6, dtype=np.int64)
+    for dev in range(8):
+        key = fold_key_device(3, 1, 2, dev)
+        key_u, key_n = jax.random.split(key)
+        u = np.asarray(
+            jax.random.bernoulli(key_u, 0.5, (per_dev, code.k))
+        ).astype(np.uint8)
+        c = np.asarray(encode(code, u))
+        llr = np.asarray(awgn_llrs(key_n, c, 4.0, code.rate))
+        gb, gok, git = golden_decode(
+            code.H, llr, algo="minsum", iters=20, alpha=0.75,
+            dtype=np.float32,
+        )
+        wrong = gb[:, : code.k] != u
+        totals += np.array([
+            per_dev,
+            wrong.sum(),
+            wrong.any(axis=1).sum(),
+            (~gok).sum(),
+            (gok & wrong.any(axis=1)).sum(),
+            git.sum(),
+        ])
+    assert (counters == totals).all(), (counters, totals)
+
+
+def test_sharded_step_deterministic(mesh):
+    code = toy_code()
+    cfg = DecodeCfg(algo="minsum", iters=15, impl="jnp")
+    step = build_sharded_mc_step(code, cfg, 8, 3.0, mesh)
+    c1 = np.asarray(jax.device_get(step(*_step_args(0, 0, 0))))
+    c2 = np.asarray(jax.device_get(step(*_step_args(0, 0, 0))))
+    assert (c1 == c2).all()
+    c3 = np.asarray(jax.device_get(step(*_step_args(0, 0, 1))))
+    assert not (c1 == c3).all()  # different batch counter -> new frames
+
+
+def test_run_ber_sharded_vs_host_loop(mesh):
+    """The mesh path and the single-device path draw from per-device
+    folded streams; both stop on psum'd totals and agree on structure."""
+    code = toy_code()
+    cfg = DecodeCfg(algo="minsum", iters=20, impl="jnp")
+    res = run_ber_sharded(
+        code, [3.0, 6.0], cfg, batch=16, target_frame_errors=8,
+        max_frames=2048, seed=5, mesh=mesh,
+    )
+    assert res[0].frames % (16 * 8) == 0  # whole sharded steps
+    assert res[0].fer >= res[1].fer
+    # run_ber(mesh=...) dispatches to the same path
+    res2 = run_ber(
+        code, [3.0, 6.0], cfg=cfg, batch=16, target_frame_errors=8,
+        max_frames=2048, seed=5, mesh=mesh,
+    )
+    for a, b in zip(res, res2):
+        assert a.frames == b.frames
+        assert a.frame_errors == b.frame_errors
+        assert a.bit_errors == b.bit_errors
+
+
+def test_early_stop_decision_replicated(mesh):
+    """Stop decisions are a pure function of psum'd counters: re-running
+    the same sweep must visit the identical batch_ctr sequence (the §3.3
+    divergence bug would show up as different frame totals)."""
+    code = toy_code()
+    cfg = DecodeCfg(algo="minsum", iters=10, impl="jnp")
+    kw = dict(cfg=cfg, batch=8, target_frame_errors=5, max_frames=512,
+              seed=7, mesh=mesh)
+    r1 = run_ber(code, [2.5], **kw)
+    r2 = run_ber(code, [2.5], **kw)
+    assert r1[0].frames == r2[0].frames
+    assert r1[0].iter_sum == r2[0].iter_sum
+
+
+def test_mesh_size_changes_frames_per_step(mesh):
+    code = toy_code()
+    cfg = DecodeCfg(algo="minsum", iters=10, impl="jnp")
+    half = make_mesh(jax.devices()[:4])
+    s8 = build_sharded_mc_step(code, cfg, 8, 3.0, mesh)
+    s4 = build_sharded_mc_step(code, cfg, 8, 3.0, half)
+    c8 = np.asarray(jax.device_get(s8(*_step_args(1, 0, 0))))
+    c4 = np.asarray(jax.device_get(s4(*_step_args(1, 0, 0))))
+    assert c8[0] == 64 and c4[0] == 32
+    # device streams are a superset: devices 0..3 contribute identically,
+    # so the 8-device totals differ from 4-device totals by devices 4..7
+    # (checked indirectly: totals can only grow)
+    assert (c8 >= c4).all()

@@ -1,0 +1,127 @@
+"""Pallas kernel vs golden (SURVEY.md §4.2): interpret mode on CPU.
+
+The fused kernel runs under interpret=True here (the TPU-native analog
+of a sanitizer build, §5) and must be bit-exact against the golden
+float32 min-sum on bits, ok flags, AND iters_used.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_ldpc.codes import LdpcCode, make_base_graph
+from tpu_ldpc.golden import decode as golden_decode, encode as golden_encode
+from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
+
+
+def toy_code(Z=8):
+    return LdpcCode.from_base_graph(
+        make_base_graph(4, 8, Z, seed=7), Z, f"toy{Z}"
+    )
+
+
+def noisy_llrs(code, batch, ebn0_db, seed):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 2, (batch, code.k)).astype(np.uint8)
+    c = golden_encode(code.H, u)
+    x = 1.0 - 2.0 * c
+    sigma2 = 1.0 / (2 * code.rate * 10 ** (ebn0_db / 10))
+    y = x + np.sqrt(sigma2) * rng.normal(size=x.shape)
+    return (2.0 / sigma2 * y).astype(np.float32), u
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+@pytest.mark.parametrize(
+    "alpha,beta", [(0.75, 0.0), (1.0, 0.15), (0.8, 0.1)]
+)
+def test_minsum_bitexact(schedule, alpha, beta):
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 3.0, seed=5)
+    gb, gok, git = golden_decode(
+        code.H, llr, algo="minsum", iters=17, alpha=alpha, beta=beta,
+        schedule=schedule, dtype=np.float32,
+    )
+    fn = build_pallas_decoder(
+        code, algo="minsum", iters=17, alpha=alpha, beta=beta,
+        schedule=schedule, batch_tile=128, interpret=True,
+    )
+    pb, pok, pit = map(np.asarray, fn(llr))
+    assert (pb == gb).all()
+    assert (pok == gok).all()
+    assert (pit == git).all()
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+def test_minsum_no_early_stop(schedule):
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 3.0, seed=5)
+    gb, gok, _ = golden_decode(
+        code.H, llr, algo="minsum", iters=17, schedule=schedule,
+        dtype=np.float32, early_stop=False,
+    )
+    fn = build_pallas_decoder(
+        code, algo="minsum", iters=17, schedule=schedule,
+        early_stop=False, interpret=True,
+    )
+    pb, pok, _ = map(np.asarray, fn(llr))
+    assert (pb == gb).all()
+    assert (pok == gok).all()
+
+
+def test_sumproduct_agrees():
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 4.0, seed=6)
+    gb, gok, git = golden_decode(code.H, llr, algo="sumproduct", iters=15)
+    fn = build_pallas_decoder(code, algo="sumproduct", iters=15,
+                              interpret=True)
+    pb, pok, pit = map(np.asarray, fn(llr))
+    assert (pb == gb).all(axis=1).mean() >= 0.97
+    assert (pok == gok).mean() >= 0.97
+
+
+def test_batch_padding():
+    """Non-multiple-of-tile batches: padded lanes must not leak."""
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 3.0, seed=9)
+    fn = build_pallas_decoder(code, algo="minsum", iters=10,
+                              batch_tile=128, interpret=True)
+    b40 = [np.asarray(v) for v in fn(llr)]
+    b7 = [np.asarray(v) for v in fn(llr[:7])]
+    for a, b in zip(b40, b7):
+        assert (a[:7] == b).all()
+
+
+def test_exit_block_invariance():
+    """Early-exit granularity must not change any output."""
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 3.0, seed=11)
+    outs = []
+    for g in (1, 3, 50):
+        fn = build_pallas_decoder(code, algo="minsum", iters=17,
+                                  exit_block=g, interpret=True)
+        outs.append([np.asarray(v) for v in fn(llr)])
+    for o in outs[1:]:
+        for a, b in zip(outs[0], o):
+            assert (a == b).all()
+
+
+def test_vmem_budget_rejects_huge_code():
+    """Codes whose state exceeds VMEM must raise (api falls back to jnp)."""
+    B = make_base_graph(12, 24, 512, seed=3)
+    big = LdpcCode.from_base_graph(B, 512, "huge")
+    with pytest.raises(NotImplementedError):
+        build_pallas_decoder(big, batch_tile=128, interpret=True)
+
+
+def test_wider_lift_bitexact():
+    """Z=27-style odd lift (wifi family) through the kernel."""
+    code = LdpcCode.from_family("wifi", "2/3", 27)
+    llr, _ = noisy_llrs(code, 16, 3.0, seed=13)
+    gb, gok, git = golden_decode(
+        code.H, llr, algo="minsum", iters=8, dtype=np.float32
+    )
+    fn = build_pallas_decoder(code, algo="minsum", iters=8,
+                              batch_tile=128, interpret=True)
+    pb, pok, pit = map(np.asarray, fn(llr))
+    assert (pb == gb).all()
+    assert (pok == gok).all()
+    assert (pit == git).all()

@@ -16,7 +16,13 @@ from tpu_ldpc.codes.code import LdpcCode
 def build_decode_fn(code: LdpcCode, cfg):
     """cfg: sim.mc.DecodeCfg (or anything with the same fields)."""
     impl = getattr(cfg, "impl", "auto")
-    if impl in ("auto", "pallas"):
+    # 'auto' prefers the fused Pallas kernel on real TPU hardware; on CPU
+    # backends it uses the XLA-compiled jnp reference decoder (Pallas
+    # interpret mode is for tests, far too slow for simulation work).
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
         try:
             from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
 

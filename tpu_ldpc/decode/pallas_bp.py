@@ -1,0 +1,398 @@
+"""Fused Pallas BP decoder kernels — the flagship hot core (SURVEY.md C6-C9,
+call stack §3.2).
+
+Design (TPU-first, not a translation of any CPU/CUDA loop):
+
+  * One `pallas_call` decodes a whole batch tile for all iterations:
+    messages never touch HBM mid-decode (the §6 roofline shows
+    HBM-resident messages cap well under the target; VMEM-residency is
+    the design).
+  * Lane axis = codeword batch (B_tile lanes), sublane axis = the lift
+    dimension Z.  All per-block tensors are (Z, B_tile) VPU tiles.
+  * Circulant gathers/scatters are static sublane rolls: variable->check
+    coordinates is roll(v, -s), check->variable is roll(r, +s) — no
+    gather/scatter ops anywhere.  (Measured on v5e: a pipelined sublane
+    roll costs about one VPU add.)
+  * The base-graph structure is baked in at trace time from the
+    TannerLayout (static unroll over nonzero blocks); kernels never see
+    construction logic, only the layout contract.
+  * CN->VN messages R live in *check coordinates* in a VMEM scratch of
+    shape (E, Z, B_tile); posterior P and channel L are (nb, Z, B_tile).
+  * The syndrome check is fused into the CN pass: the rolled posterior
+    t = roll(P_j, -s) is both the syndrome operand and the minuend of
+    q = t - R, so early-termination checking costs no extra memory pass.
+    Iteration `it` detects convergence of the posterior produced by
+    iteration it-1 (it=1 checks the raw channel decision).
+  * Min-sum CN update is branchless sign-magnitude arithmetic:
+    magnitudes via abs, the exclusive minimum via prefix/suffix min
+    trees (exactly equal to the golden two-min semantics, ties
+    included), signs as int32 sign bits combined with XOR trees and
+    re-attached with OR.  All of it bit-exact vs the golden fp32 model.
+  * Early termination (C9): per-lane done mask; converged lanes latch
+    their *hard decisions* into an int8 output (cheaper than latching
+    the posterior, and equivalent to freezing since lanes are
+    independent); iters_used matches the golden sequential semantics
+    exactly.  The all-done exit is checked every `exit_block` iterations
+    (scalar reductions stall the vector pipeline, so the guard runs at
+    block granularity while bookkeeping stays per-iteration).
+
+The same generator emits sum-product (stable sign/phi form) and the
+row-layered schedule (sequential block-row sweeps inside the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_ldpc.codes.code import LdpcCode
+from tpu_ldpc.golden.decoder import SP_MAX_MAG, SP_MIN_MAG
+
+DEFAULT_BATCH_TILE = 256
+VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+SIGN_MASK = np.int32(np.uint32(0x80000000))
+
+
+def _roll_to_check(x, s: int, Z: int):
+    """variable -> check coordinates: out[r] = x[(r + s) % Z]."""
+    s = s % Z
+    if s == 0:
+        return x
+    return pltpu.roll(x, Z - s, axis=0)
+
+
+def _roll_to_var(x, s: int, Z: int):
+    """check -> variable coordinates: out[v] = x[(v - s) % Z]."""
+    s = s % Z
+    if s == 0:
+        return x
+    return pltpu.roll(x, s, axis=0)
+
+
+def _xor_tree(vals):
+    """Balanced XOR tree (exact in any order)."""
+    vals = list(vals)
+    while len(vals) > 1:
+        nxt = [a ^ b for a, b in zip(vals[::2], vals[1::2])]
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return vals[0]
+
+
+def _prefix_suffix_excl_min(mags):
+    """excl[e] = min over mags of the other edges (== golden two-min
+    semantics for every tie pattern).  Log-depth dependency chains."""
+    d = len(mags)
+    if d == 1:
+        return [mags[0]]  # degree-1 row sends its own magnitude (golden)
+    pre = [None] * d  # pre[e] = min(mags[0..e-1])
+    suf = [None] * d  # suf[e] = min(mags[e+1..])
+    pre[1] = mags[0]
+    for e in range(2, d):
+        pre[e] = jnp.minimum(pre[e - 1], mags[e - 1])
+    suf[d - 2] = mags[d - 1]
+    for e in range(d - 3, -1, -1):
+        suf[e] = jnp.minimum(suf[e + 1], mags[e + 1])
+    out = [suf[0]] + [
+        jnp.minimum(pre[e], suf[e]) for e in range(1, d - 1)
+    ] + [pre[d - 1]]
+    return out
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _cn_minsum_kernel(qs, alpha: float, beta: float):
+    """Branchless sign-magnitude min-sum CN update; bit-exact vs golden."""
+    mags = [jnp.abs(q) for q in qs]
+    sbits = [_i32(q) & SIGN_MASK for q in qs]
+    total = _xor_tree(sbits)
+    excl = _prefix_suffix_excl_min(mags)
+    outs = []
+    for e in range(len(qs)):
+        mag = excl[e]
+        if beta != 0.0:
+            mag = jnp.maximum(mag - beta, 0.0)
+        if alpha != 1.0:
+            mag = mag * alpha
+        outs.append(_f32(_i32(mag) | (total ^ sbits[e])))
+    return outs
+
+
+def _phi(x):
+    x = jnp.clip(x, SP_MIN_MAG, SP_MAX_MAG)
+    return -jnp.log(jnp.tanh(x * 0.5))
+
+
+def _cn_sumproduct_kernel(qs, alpha: float, beta: float):
+    """Stable sign/phi sum-product CN update (matches golden within fp
+    tolerance; transcendentals dominate, so no bit tricks here)."""
+    del alpha, beta
+    mags = [jnp.abs(q) for q in qs]
+    sbits = [_i32(q) & SIGN_MASK for q in qs]
+    total = _xor_tree(sbits)
+    phis = [_phi(m) for m in mags]
+    tot = phis[0]
+    for p in phis[1:]:
+        tot = tot + p
+    outs = []
+    for e in range(len(qs)):
+        mag = _phi(tot - phis[e])
+        outs.append(_f32(_i32(mag) | (total ^ sbits[e])))
+    return outs
+
+
+@functools.lru_cache(maxsize=64)
+def build_pallas_decoder(
+    code: LdpcCode,
+    algo: str = "minsum",
+    iters: int = 50,
+    alpha: float = 0.75,
+    beta: float = 0.0,
+    schedule: str = "flooding",
+    early_stop: bool = True,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    exit_block: int = 5,
+    interpret: bool | None = None,
+    dtype=jnp.float32,
+):
+    """Build a jitted Pallas decoder: llr (batch, n) -> (bits, ok, iters_used).
+
+    Raises NotImplementedError if the code's message state cannot fit the
+    VMEM budget (the decode.api dispatcher then falls back to the jnp
+    reference decoder).
+    """
+    if algo not in ("minsum", "sumproduct"):
+        raise ValueError(f"unknown algo {algo!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    lay = code.layout
+    Z, mb, nb, E = lay.Z, lay.mb, lay.nb, lay.E
+    while batch_tile > 128 and lay.vmem_bytes(batch_tile) > VMEM_BUDGET_BYTES:
+        batch_tile //= 2
+    if lay.vmem_bytes(batch_tile) > VMEM_BUDGET_BYTES:
+        raise NotImplementedError(
+            f"{code.name}: decoder state {lay.vmem_bytes(batch_tile)} B "
+            f"exceeds VMEM budget at batch_tile={batch_tile}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    ecol = [int(c) for c in lay.edge_col]
+    eshift = [int(s) for s in lay.edge_shift]
+    row_edges = [lay.row_edges(i) for i in range(mb)]
+    col_edges = [lay.col_edges(j) for j in range(nb)]
+    n = lay.n
+    f_alpha, f_beta = float(alpha), float(beta)
+    cn_update = (
+        _cn_minsum_kernel if algo == "minsum" else _cn_sumproduct_kernel
+    )
+
+    def syndrome_violations(P_scr):
+        """Standalone syndrome pass: total violation count, (1, B) int32."""
+        viols = []
+        for i in range(mb):
+            par = _xor_tree([
+                _i32(_roll_to_check(P_scr[ecol[e]], eshift[e], Z)) & SIGN_MASK
+                for e in row_edges[i]
+            ])
+            viols.append(
+                jnp.sum((par != 0).astype(jnp.int32), axis=0, keepdims=True)
+            )
+        out = viols[0]
+        for v in viols[1:]:
+            out = out + v
+        return out
+
+    def kernel(L_ref, bits_ref, ok_ref, iu_ref, P_scr, R_scr):
+        zero_msgs = jnp.zeros((Z, batch_tile), dtype)
+        for j in range(nb):
+            P_scr[j] = L_ref[j]
+        for e in range(E):
+            R_scr[e] = zero_msgs
+
+        ok_ref[...] = jnp.zeros((1, batch_tile), jnp.int32)
+        iu_ref[...] = jnp.full((1, batch_tile), iters, jnp.int32)
+
+        def cn_pass_fused():
+            """CN pass; returns the violation count of the *pre-pass*
+            posterior for free (t = roll(P_j, -s) is shared).  With
+            early termination off the parity work is skipped entirely."""
+            viols = []
+            for i in range(mb):
+                es = row_edges[i]
+                ts = [
+                    _roll_to_check(P_scr[ecol[e]], eshift[e], Z) for e in es
+                ]
+                if early_stop:
+                    par = _xor_tree([_i32(t) & SIGN_MASK for t in ts])
+                    viols.append(
+                        jnp.sum((par != 0).astype(jnp.int32), axis=0,
+                                keepdims=True)
+                    )
+                qs = [t - R_scr[e] for t, e in zip(ts, es)]
+                for e, r_new in zip(es, cn_update(qs, f_alpha, f_beta)):
+                    R_scr[e] = r_new
+            if not early_stop:
+                return None
+            viol = viols[0]
+            for v in viols[1:]:
+                viol = viol + v
+            return viol
+
+        def vn_pass():
+            # sequential accumulation in ascending block-row order (the
+            # golden contract fixes this order; chains are <= max col deg)
+            for j in range(nb):
+                p = L_ref[j]
+                for e in col_edges[j]:
+                    p = p + _roll_to_var(R_scr[e], eshift[e], Z)
+                P_scr[j] = p
+
+        def latch(viol, it_minus_1):
+            """Convergence bookkeeping for the posterior checked by `viol`.
+            Latches hard decisions (== freezing: lanes are independent)."""
+            ok_now = (viol == 0).astype(jnp.int32)
+            newly = ok_now * (1 - ok_ref[...])
+            keep = newly[0, :] == 1
+            for j in range(nb):
+                hard = (P_scr[j] < 0).astype(jnp.int8)
+                bits_ref[j] = jnp.where(keep, hard, bits_ref[j])
+            iu_ref[...] = jnp.where(
+                newly == 1, it_minus_1, iu_ref[...]
+            ).astype(jnp.int32)
+            ok_ref[...] = jnp.maximum(ok_ref[...], ok_now)
+
+        if schedule == "flooding":
+            def one_iter(it):
+                # iteration `it` detects convergence of the posterior
+                # produced by iteration it-1 (it=1 checks the raw channel
+                # decision: iters_used=0) — golden contract preserved.
+                viol = cn_pass_fused()
+                if early_stop:
+                    latch(viol, it - 1)
+                vn_pass()
+        else:
+            def one_iter(it):
+                for i in range(mb):
+                    es = row_edges[i]
+                    qs = [
+                        _roll_to_check(P_scr[ecol[e]], eshift[e], Z)
+                        - R_scr[e]
+                        for e in es
+                    ]
+                    outs = cn_update(qs, f_alpha, f_beta)
+                    for e, q, r_new in zip(es, qs, outs):
+                        P_scr[ecol[e]] = _roll_to_var(
+                            q + r_new, eshift[e], Z
+                        )
+                        R_scr[e] = r_new
+                if early_stop:
+                    latch(syndrome_violations(P_scr), it)
+
+            if early_stop:
+                latch(syndrome_violations(P_scr), 0)
+
+        def body(it, _):
+            one_iter(it)
+            return 0
+
+        # all-done early exit at exit_block granularity: scalar reads of
+        # the done mask stall the vector pipeline, so guard per block
+        # (with early_stop off the mask stays zero and the guard is free)
+        g = max(1, exit_block)
+        n_blocks, rem = divmod(iters, g)
+
+        def block(b, _):
+            done = ok_ref[0, :]
+
+            @pl.when(jnp.sum(done) < batch_tile)
+            def _():
+                jax.lax.fori_loop(b * g + 1, b * g + g + 1, body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, block, 0)
+        if rem:
+            jax.lax.fori_loop(n_blocks * g + 1, iters + 1, body, 0)
+
+        if schedule == "flooding":
+            # final posterior still needs one standalone syndrome check
+            viol = syndrome_violations(P_scr)
+            if early_stop:
+                latch(viol, iters)
+            else:
+                ok_ref[...] = (viol == 0).astype(jnp.int32)
+        elif not early_stop:
+            viol = syndrome_violations(P_scr)
+            ok_ref[...] = (viol == 0).astype(jnp.int32)
+
+        done = ok_ref[0, :]
+        for j in range(nb):
+            hard = (P_scr[j] < 0).astype(jnp.int8)
+            if early_stop:
+                bits_ref[j] = jnp.where(done == 1, bits_ref[j], hard)
+            else:
+                bits_ref[j] = hard
+
+    @jax.jit
+    def decode_fn(llr):
+        batch = llr.shape[0]
+        padded = -(-batch // batch_tile) * batch_tile
+        x = llr.astype(dtype).T  # (n, batch)
+        if padded != batch:
+            # pad lanes with strong "zero codeword" LLRs: they converge
+            # immediately and never hold the early exit back
+            x = jnp.pad(x, ((0, 0), (0, padded - batch)),
+                        constant_values=100.0)
+        x = x.reshape(nb, Z, padded)
+        num_tiles = padded // batch_tile
+
+        bits, ok, iu = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (nb, Z, batch_tile),
+                    lambda t: (0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (nb, Z, batch_tile),
+                    lambda t: (0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, batch_tile), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, batch_tile), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, Z, padded), jnp.int8),
+                jax.ShapeDtypeStruct((1, padded), jnp.int32),
+                jax.ShapeDtypeStruct((1, padded), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nb, Z, batch_tile), dtype),
+                pltpu.VMEM((E, Z, batch_tile), dtype),
+            ],
+            interpret=interpret,
+        )(x)
+
+        bits = bits.reshape(n, padded).T[:batch].astype(jnp.uint8)
+        return bits, ok[0, :batch] > 0, iu[0, :batch]
+
+    return decode_fn

@@ -1,0 +1,142 @@
+"""`python -m tpu_ldpc.sim` / `tpu_ldpc.cli.sim` — BER/FER sweep CLI.
+
+Call stack §3.1/§3.3.  Usage:
+
+    python -m tpu_ldpc.cli.sim --ebn0 1.0 2.0 3.0 --algo minsum \
+        --family wifi --rate 1/2 --z 27 --target-fe 100 \
+        --csv out.csv --checkpoint sweep.json [--mesh] [--profile DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="tpu-ldpc Monte-Carlo BER/FER sweep")
+    p.add_argument("--config", help="JSON config file")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="dotted config override, e.g. decode.alpha=0.8")
+    # common shortcuts (equivalent to --set forms)
+    p.add_argument("--family", choices=["judged", "wifi", "wimax", "alist"])
+    p.add_argument("--rate")
+    p.add_argument("--z", type=int)
+    p.add_argument("--alist")
+    p.add_argument("--ebn0", type=float, nargs="+")
+    p.add_argument("--algo", choices=["minsum", "sumproduct"])
+    p.add_argument("--iters", type=int)
+    p.add_argument("--alpha", type=float)
+    p.add_argument("--beta", type=float)
+    p.add_argument("--schedule", choices=["flooding", "layered"])
+    p.add_argument("--impl", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--batch", type=int)
+    p.add_argument("--target-fe", type=int)
+    p.add_argument("--max-frames", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all devices (psum counters)")
+    p.add_argument("--checkpoint", help="sweep state file (resume if exists)")
+    p.add_argument("--csv", help="write waterfall CSV here")
+    p.add_argument("--jsonl", help="write per-point JSONL records here")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the sweep into DIR")
+    return p
+
+
+def args_to_config(args):
+    from tpu_ldpc.cli.config import SimConfig
+
+    overrides = list(args.set)
+    direct = {
+        "code.family": args.family, "code.rate": args.rate, "code.Z": args.z,
+        "code.path": args.alist,
+        "decode.algo": args.algo, "decode.iters": args.iters,
+        "decode.alpha": args.alpha, "decode.beta": args.beta,
+        "decode.schedule": args.schedule, "decode.impl": args.impl,
+        "run.batch": args.batch, "run.target_frame_errors": args.target_fe,
+        "run.max_frames": args.max_frames, "run.seed": args.seed,
+        "run.state_path": args.checkpoint, "run.out_csv": args.csv,
+        "run.jsonl": args.jsonl,
+    }
+    for k, v in direct.items():
+        if v is not None:
+            overrides.append(f"{k}={json.dumps(v)}")
+    if args.ebn0:
+        overrides.append(f"channel.ebn0_grid={json.dumps(args.ebn0)}")
+    if args.mesh:
+        overrides.append("run.use_mesh=true")
+    return SimConfig.from_sources(args.config, overrides)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = args_to_config(args)
+
+    from tpu_ldpc.report.waterfall import waterfall_csv, waterfall_table
+    from tpu_ldpc.sim.mc import run_ber
+    from tpu_ldpc.sim.state import SweepState
+
+    code = cfg.code.build()
+    chash = cfg.config_hash()
+    state = (
+        SweepState(cfg.run.state_path, chash) if cfg.run.state_path else None
+    )
+    mesh = None
+    if cfg.run.use_mesh:
+        from tpu_ldpc.dist.mesh import init_distributed, make_mesh
+
+        init_distributed()
+        mesh = make_mesh()
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
+    t0 = time.time()
+    results = run_ber(
+        code,
+        cfg.channel.ebn0_grid,
+        cfg=cfg.decode,
+        batch=cfg.run.batch,
+        target_frame_errors=cfg.run.target_frame_errors,
+        max_frames=cfg.run.max_frames,
+        seed=cfg.run.seed,
+        mesh=mesh,
+        progress=True,
+        state=state,
+    )
+    wall = time.time() - t0
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+
+    print(f"\ncode={code.name} (n={code.n}, k={code.k}, R={code.rate:.3f}) "
+          f"algo={cfg.decode.algo} iters={cfg.decode.iters} "
+          f"schedule={cfg.decode.schedule} config={chash} wall={wall:.1f}s\n")
+    print(waterfall_table(results))
+    if cfg.run.out_csv:
+        with open(cfg.run.out_csv, "w") as f:
+            f.write(f"# config_hash={chash}\n")
+            f.write(waterfall_csv(results))
+        print(f"wrote {cfg.run.out_csv}")
+    if cfg.run.jsonl:
+        with open(cfg.run.jsonl, "a") as f:
+            for r in results:
+                rec = {"config_hash": chash, "code": code.name,
+                       "ebn0_db": r.ebn0_db, "frames": r.frames,
+                       "bit_errors": r.bit_errors,
+                       "frame_errors": r.frame_errors,
+                       "detected": r.detected, "undetected": r.undetected,
+                       "iter_sum": r.iter_sum, "fer": r.fer, "ber": r.ber,
+                       "mean_iters": r.mean_iters, "wall_s": r.wall_s}
+                f.write(json.dumps(rec) + "\n")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Native C++ host kernels vs pure-NumPy references (SURVEY.md §2.3)."""
+
+import numpy as np
+import pytest
+
+from tpu_ldpc import _native
+from tpu_ldpc.codes import LdpcCode, make_base_graph
+from tpu_ldpc.codes.base_graphs import _count_4cycles_py, _count_6cycles_py
+from tpu_ldpc.golden import encoder as golden_enc
+
+pytestmark = pytest.mark.skipif(
+    _native.lib is None, reason="native library not built (no compiler?)"
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cycle_counts_match_python(seed):
+    rng = np.random.default_rng(seed)
+    B = make_base_graph(6, 12, 16, seed=seed).copy()
+    # scramble some shifts to create cycles
+    mask = B >= 0
+    B[mask] = rng.integers(0, 16, mask.sum())
+    assert _native.count_4cycles(B, 16) == _count_4cycles_py(B, 16)
+    assert _native.count_6cycles(B, 16) == _count_6cycles_py(B, 16)
+
+
+def test_gf2_rank_matches_golden():
+    rng = np.random.default_rng(3)
+    M = rng.integers(0, 2, (40, 60)).astype(np.uint8)
+    assert _native.gf2_rank(M) == golden_enc.gf2_rank(M)
+    # rank-deficient case
+    M[1] = M[0]
+    M[2] = (M[0] + M[3]) % 2
+    assert _native.gf2_rank(M) == golden_enc.gf2_rank(M)
+
+
+def test_gf2_inv_matches_golden():
+    rng = np.random.default_rng(4)
+    while True:
+        M = rng.integers(0, 2, (24, 24)).astype(np.uint8)
+        if golden_enc.gf2_rank(M) == 24:
+            break
+    inv_n = _native.gf2_inv(M)
+    inv_g = golden_enc.gf2_inv(M)
+    assert (inv_n == inv_g).all()
+    assert ((M.astype(int) @ inv_n) % 2 == np.eye(24)).all()
+
+
+def test_gf2_inv_singular_raises():
+    M = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        _native.gf2_inv(M)
+
+
+def test_parity_map_matches_golden():
+    code = LdpcCode.from_base_graph(make_base_graph(6, 12, 8, seed=5), 8)
+    H = np.asarray(code.H.todense(), dtype=np.uint8)
+    Mn = _native.parity_map(H)
+    Mg = golden_enc.parity_map(code.H)
+    assert (Mn == Mg).all()
+
+
+def test_code_parity_uses_native_consistently(judged_code):
+    """LdpcCode.parity_M (native path) equals the golden computation."""
+    Mg = golden_enc.parity_map(judged_code.H)
+    assert (judged_code.parity_M == Mg).all()

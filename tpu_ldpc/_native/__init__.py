@@ -1,0 +1,108 @@
+"""Native host-side kernels: build-on-first-use C++ via ctypes.
+
+The device hot path is Pallas/XLA; this module covers the *host* hot
+paths the reference implements in C++ (SURVEY.md §2.3): cycle counting
+for girth-driven construction/annealing and bit-packed GF(2) algebra
+for encoder precomputation.  Every entry point has a NumPy fallback —
+``lib`` is None when no compiler is available — and tests cross-check
+native vs fallback results.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "native.cpp")
+_SO = os.path.join(_DIR, "libtpuldpc_native.so")
+
+
+def _build() -> str | None:
+    if not os.path.exists(_SRC):
+        return None
+    if (
+        os.path.exists(_SO)
+        and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    ):
+        return _SO
+    tmp = _SO + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
+        return _SO
+    except (OSError, subprocess.SubprocessError) as e:  # no compiler etc.
+        print(f"tpu_ldpc._native: build skipped ({e})", file=sys.stderr)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        return None
+
+
+def _load():
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    ip = ctypes.c_int
+    lib.qc_count_4cycles.argtypes = [i64p, ip, ip, ip]
+    lib.qc_count_4cycles.restype = ctypes.c_longlong
+    lib.qc_count_6cycles.argtypes = [i64p, ip, ip, ip]
+    lib.qc_count_6cycles.restype = ctypes.c_longlong
+    lib.gf2_rank.argtypes = [i8p, ip, ip]
+    lib.gf2_rank.restype = ip
+    lib.gf2_row_reduce.argtypes = [i8p, ip, ip, i8p]
+    lib.gf2_row_reduce.restype = ip
+    lib.gf2_inv.argtypes = [i8p, ip, i8p]
+    lib.gf2_inv.restype = ip
+    lib.gf2_parity_map.argtypes = [i8p, ip, ip, i8p]
+    lib.gf2_parity_map.restype = ip
+    return lib
+
+
+lib = _load()
+
+
+# ---- typed wrappers (None-safe callers should check `lib is None`) ----
+
+def count_4cycles(B: np.ndarray, Z: int) -> int:
+    B = np.ascontiguousarray(B, dtype=np.int64)
+    return int(lib.qc_count_4cycles(B, B.shape[0], B.shape[1], Z))
+
+
+def count_6cycles(B: np.ndarray, Z: int) -> int:
+    B = np.ascontiguousarray(B, dtype=np.int64)
+    return int(lib.qc_count_6cycles(B, B.shape[0], B.shape[1], Z))
+
+
+def gf2_rank(M: np.ndarray) -> int:
+    M = np.ascontiguousarray(M % 2, dtype=np.uint8)
+    return int(lib.gf2_rank(M, M.shape[0], M.shape[1]))
+
+
+def gf2_inv(M: np.ndarray) -> np.ndarray:
+    M = np.ascontiguousarray(M % 2, dtype=np.uint8)
+    n = M.shape[0]
+    out = np.zeros((n, n), dtype=np.uint8)
+    if lib.gf2_inv(M, n, out) != 0:
+        raise ValueError("matrix is singular over GF(2)")
+    return out
+
+
+def parity_map(H_dense: np.ndarray) -> np.ndarray:
+    H = np.ascontiguousarray(H_dense % 2, dtype=np.uint8)
+    m, n = H.shape
+    out = np.zeros((m, n - m), dtype=np.uint8)
+    rc = lib.gf2_parity_map(H, m, n, out)
+    if rc != 0:
+        raise ValueError(f"parity part not invertible (rc={rc})")
+    return out

@@ -1,0 +1,197 @@
+// tpu-ldpc native host-side kernels (SURVEY.md §2.3).
+//
+// The reference implements construction and GF(2) algebra in C++; the
+// device hot path here is Pallas/XLA, but the host-side construction
+// tooling (cycle counting for girth-driven shift optimization, bit-packed
+// GF(2) elimination for encoder precomputation and rank checks) is native
+// too.  Semantics mirror tpu_ldpc/codes/base_graphs.py and
+// tpu_ldpc/golden/encoder.py exactly; cross-checked by tests.
+//
+// Build: g++ -O3 -shared -fPIC native.cpp -o libtpuldpc_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Cycle counting on a QC base matrix (B row-major int64, -1 = zero block)
+// ---------------------------------------------------------------------
+
+long long qc_count_4cycles(const long long* B, int mb, int nb, int Z) {
+    long long count = 0;
+    for (int i1 = 0; i1 < mb; ++i1) {
+        const long long* r1 = B + (size_t)i1 * nb;
+        for (int i2 = i1 + 1; i2 < mb; ++i2) {
+            const long long* r2 = B + (size_t)i2 * nb;
+            for (int j1 = 0; j1 < nb; ++j1) {
+                if (r1[j1] < 0 || r2[j1] < 0) continue;
+                for (int j2 = j1 + 1; j2 < nb; ++j2) {
+                    if (r1[j2] < 0 || r2[j2] < 0) continue;
+                    long long d = (r1[j1] - r1[j2] + r2[j2] - r2[j1]) % Z;
+                    if (d < 0) d += Z;
+                    if (d == 0) ++count;
+                }
+            }
+        }
+    }
+    return count;
+}
+
+long long qc_count_6cycles(const long long* B, int mb, int nb, int Z) {
+    // Mirrors base_graphs.count_6cycles: enumerate
+    // (i1,j1)-(i1,j2)-(i2,j2)-(i2,j3)-(i3,j3)-(i3,j1) with i1 the
+    // smallest of {i1, i2}; each cycle hit twice (both directions),
+    // halve at the end.
+    long long raw = 0;
+    for (int i1 = 0; i1 < mb; ++i1) {
+        const long long* r1 = B + (size_t)i1 * nb;
+        for (int j1 = 0; j1 < nb; ++j1) {
+            if (r1[j1] < 0) continue;
+            for (int j2 = 0; j2 < nb; ++j2) {
+                if (j2 == j1 || r1[j2] < 0) continue;
+                for (int i2 = i1 + 1; i2 < mb; ++i2) {
+                    const long long* r2 = B + (size_t)i2 * nb;
+                    if (r2[j2] < 0) continue;
+                    for (int j3 = 0; j3 < nb; ++j3) {
+                        if (j3 == j1 || j3 == j2 || r2[j3] < 0) continue;
+                        for (int i3 = 0; i3 < mb; ++i3) {
+                            if (i3 == i1 || i3 == i2) continue;
+                            const long long* r3 = B + (size_t)i3 * nb;
+                            if (r3[j3] < 0 || r3[j1] < 0) continue;
+                            long long s = (r1[j1] - r1[j2] + r2[j2] - r2[j3]
+                                           + r3[j3] - r3[j1]) % Z;
+                            if (s < 0) s += Z;
+                            if (s == 0) ++raw;
+                        }
+                    }
+                }
+            }
+        }
+    }
+    return raw / 2;
+}
+
+// ---------------------------------------------------------------------
+// Bit-packed GF(2) linear algebra (uint8 in/out, uint64 words inside)
+// ---------------------------------------------------------------------
+
+namespace {
+struct PackedMat {
+    int rows, cols, words;
+    std::vector<uint64_t> data;  // row-major, cols packed into words
+
+    PackedMat(int r, int c) : rows(r), cols(c), words((c + 63) / 64),
+                              data((size_t)r * words, 0) {}
+
+    uint64_t* row(int r) { return data.data() + (size_t)r * words; }
+    int get(int r, int c) const {
+        return (data[(size_t)r * words + c / 64] >> (c % 64)) & 1;
+    }
+    void set(int r, int c, int v) {
+        uint64_t& w = data[(size_t)r * words + c / 64];
+        uint64_t m = 1ULL << (c % 64);
+        if (v) w |= m; else w &= ~m;
+    }
+    void xor_row(int dst, int src) {
+        uint64_t* d = row(dst);
+        uint64_t* s = row(src);
+        for (int w = 0; w < words; ++w) d[w] ^= s[w];
+    }
+    void swap_rows(int a, int b) {
+        if (a == b) return;
+        uint64_t* pa = row(a);
+        uint64_t* pb = row(b);
+        for (int w = 0; w < words; ++w) std::swap(pa[w], pb[w]);
+    }
+};
+
+PackedMat pack(const uint8_t* M, int rows, int cols) {
+    PackedMat p(rows, cols);
+    for (int r = 0; r < rows; ++r)
+        for (int c = 0; c < cols; ++c)
+            if (M[(size_t)r * cols + c] & 1) p.set(r, c, 1);
+    return p;
+}
+
+void unpack(PackedMat& p, uint8_t* out) {
+    for (int r = 0; r < p.rows; ++r)
+        for (int c = 0; c < p.cols; ++c)
+            out[(size_t)r * p.cols + c] = (uint8_t)p.get(r, c);
+}
+
+// returns rank; pivots written to pivot_cols (size >= rows) if non-null
+int row_reduce(PackedMat& p, int* pivot_cols) {
+    int r = 0;
+    for (int c = 0; c < p.cols && r < p.rows; ++c) {
+        int pr = -1;
+        for (int i = r; i < p.rows; ++i)
+            if (p.get(i, c)) { pr = i; break; }
+        if (pr < 0) continue;
+        p.swap_rows(r, pr);
+        for (int i = 0; i < p.rows; ++i)
+            if (i != r && p.get(i, c)) p.xor_row(i, r);
+        if (pivot_cols) pivot_cols[r] = c;
+        ++r;
+    }
+    return r;
+}
+}  // namespace
+
+int gf2_rank(const uint8_t* M, int rows, int cols) {
+    PackedMat p = pack(M, rows, cols);
+    return row_reduce(p, nullptr);
+}
+
+// rref of M written to out (same shape); returns rank
+int gf2_row_reduce(const uint8_t* M, int rows, int cols, uint8_t* out) {
+    PackedMat p = pack(M, rows, cols);
+    int rank = row_reduce(p, nullptr);
+    unpack(p, out);
+    return rank;
+}
+
+// out = inverse of square M; returns 0 on success, -1 if singular
+int gf2_inv(const uint8_t* M, int n, uint8_t* out) {
+    PackedMat aug(n, 2 * n);
+    for (int r = 0; r < n; ++r) {
+        for (int c = 0; c < n; ++c)
+            if (M[(size_t)r * n + c] & 1) aug.set(r, c, 1);
+        aug.set(r, n + r, 1);
+    }
+    std::vector<int> pivots(n, -1);
+    int rank = row_reduce(aug, pivots.data());
+    if (rank != n) return -1;
+    for (int r = 0; r < n; ++r)
+        if (pivots[r] != r) return -1;
+    for (int r = 0; r < n; ++r)
+        for (int c = 0; c < n; ++c)
+            out[(size_t)r * n + c] = (uint8_t)aug.get(r, n + c);
+    return 0;
+}
+
+// parity map M (m x k) with p = M u for H = [A | B]; 0 on success
+int gf2_parity_map(const uint8_t* H, int m, int n, uint8_t* out) {
+    int k = n - m;
+    if (k <= 0) return -2;
+    // augment [B | A]; reduce; if B -> I then right part is B^-1 A
+    PackedMat aug(m, n);
+    for (int r = 0; r < m; ++r) {
+        for (int c = 0; c < m; ++c)
+            if (H[(size_t)r * n + k + c] & 1) aug.set(r, c, 1);
+        for (int c = 0; c < k; ++c)
+            if (H[(size_t)r * n + c] & 1) aug.set(r, m + c, 1);
+    }
+    std::vector<int> pivots(m, -1);
+    int rank = row_reduce(aug, pivots.data());
+    if (rank != m) return -1;
+    for (int r = 0; r < m; ++r)
+        if (pivots[r] != r) return -1;
+    for (int r = 0; r < m; ++r)
+        for (int c = 0; c < k; ++c)
+            out[(size_t)r * k + c] = (uint8_t)aug.get(r, m + c);
+    return 0;
+}
+
+}  // extern "C"

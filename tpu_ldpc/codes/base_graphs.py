@@ -37,6 +37,14 @@ def _entries(B: np.ndarray):
 
 def count_4cycles(B: np.ndarray, Z: int) -> int:
     """Number of (row-pair, col-pair) 4-cycle patterns with shift sum 0."""
+    from tpu_ldpc import _native
+
+    if _native.lib is not None:
+        return _native.count_4cycles(np.asarray(B), Z)
+    return _count_4cycles_py(B, Z)
+
+
+def _count_4cycles_py(B: np.ndarray, Z: int) -> int:
     mb, nb = B.shape
     count = 0
     for i1 in range(mb):
@@ -53,6 +61,14 @@ def count_4cycles(B: np.ndarray, Z: int) -> int:
 
 def count_6cycles(B: np.ndarray, Z: int) -> int:
     """Number of base-graph 6-cycle patterns with zero alternating shift sum."""
+    from tpu_ldpc import _native
+
+    if _native.lib is not None:
+        return _native.count_6cycles(np.asarray(B), Z)
+    return _count_6cycles_py(B, Z)
+
+
+def _count_6cycles_py(B: np.ndarray, Z: int) -> int:
     mb, nb = B.shape
     by_row, _ = _entries(B)
     count = 0

@@ -62,7 +62,17 @@ class LdpcCode:
 
     @functools.cached_property
     def parity_M(self) -> np.ndarray:
-        """(m x k) GF(2) map p = M @ u (dense-generator encoder path)."""
+        """(m x k) GF(2) map p = M @ u (dense-generator encoder path).
+
+        Uses the native bit-packed GF(2) solver when built (cross-checked
+        against the pure-NumPy golden path in tests), golden otherwise.
+        """
+        from tpu_ldpc import _native
+
+        if _native.lib is not None:
+            return _native.parity_map(
+                np.asarray(self.H.todense(), dtype=np.uint8)
+            )
         from tpu_ldpc.golden.encoder import parity_map
 
         return parity_map(self.H)

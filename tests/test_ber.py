@@ -88,3 +88,41 @@ def test_high_snr_point_sane():
     )[0]
     assert res.fer < 0.05
     assert res.mean_iters < 5
+
+
+def test_fault_injection_detected():
+    """SURVEY §5: corrupting decoder outputs must show up in the counters
+    (frame errors + undetected errors rise; accounting stays consistent)."""
+    import jax.numpy as jnp
+
+    from tpu_ldpc.sim import mc
+
+    code = toy_code()
+    cfg = DecodeCfg(algo="minsum", iters=20, impl="jnp")
+
+    clean = np.asarray(
+        jax.device_get(
+            build_mc_step(code, cfg, 64, 8.0)(fold_key(1, 0, 0))
+        )
+    )
+
+    def flip_bits(key, bits, ok, iters_used):
+        flip = jax.random.bernoulli(key, 0.05, bits.shape)
+        return bits ^ flip.astype(jnp.uint8), ok, iters_used
+
+    mc._FAULT_HOOK = flip_bits
+    mc.build_mc_step.cache_clear()
+    try:
+        faulty = np.asarray(
+            jax.device_get(
+                build_mc_step(code, cfg, 64, 8.0)(fold_key(1, 0, 0))
+            )
+        )
+    finally:
+        mc._FAULT_HOOK = None
+        mc.build_mc_step.cache_clear()
+
+    assert faulty[1] > clean[1]          # bit errors jump
+    assert faulty[2] > clean[2]          # frame errors jump
+    assert faulty[4] >= clean[4]         # corrupted-but-"ok" frames counted
+    assert faulty[2] <= faulty[3] + faulty[4]  # accounting invariant

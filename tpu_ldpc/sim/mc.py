@@ -80,6 +80,14 @@ def fold_key(base_seed: int, snr_idx: int, batch_ctr: int) -> jax.Array:
     return jax.random.fold_in(key, batch_ctr)
 
 
+# test-only fault-injection hook (SURVEY.md §5): called as
+# hook(key, bits, ok, iters_used) -> (bits, ok, iters_used) inside the
+# jitted step, letting tests corrupt decoder outputs (bit flips, dropped
+# contributions) and assert the counter accounting detects it.  Captured
+# at trace time: call build_mc_step.cache_clear() after changing it.
+_FAULT_HOOK = None
+
+
 @functools.lru_cache(maxsize=64)
 def build_mc_step(code: LdpcCode, cfg: DecodeCfg, batch: int, ebn0_db: float):
     """Jitted MC step: key -> counter vector (len COUNTER_FIELDS,) int64."""
@@ -88,6 +96,7 @@ def build_mc_step(code: LdpcCode, cfg: DecodeCfg, batch: int, ebn0_db: float):
     encode_fn = build_encoder(code, "generator")
     decode_fn = build_decode_fn(code, cfg)
     k, rate = code.k, code.rate
+    fault_hook = _FAULT_HOOK
 
     @jax.jit
     def step(key):
@@ -96,6 +105,8 @@ def build_mc_step(code: LdpcCode, cfg: DecodeCfg, batch: int, ebn0_db: float):
         c = encode_fn(u)
         llr = awgn_llrs(key_n, c, ebn0_db, rate)
         bits, ok, iters_used = decode_fn(llr)
+        if fault_hook is not None:
+            bits, ok, iters_used = fault_hook(key, bits, ok, iters_used)
         info = bits[:, :k]
         wrong = info != u
         bit_err = jnp.sum(wrong, dtype=jnp.int32)

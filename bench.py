@@ -4,11 +4,16 @@
 Metric (BASELINE.json): decoded info bits/s/chip — normalized min-sum,
 50 iterations, rate-1/2 (1024,512) QC-LDPC, batched decode on one chip.
 
-The headline number is the conservative one: ALL 50 iterations executed
-for every codeword (early termination disabled), decode-only (LLRs
-pregenerated on device), fused Pallas kernel.  Supplementary numbers
-(early-termination throughput at the FER~1e-2 operating point, layered
-schedule) are printed to stderr.
+Measurement method: N decode calls run inside ONE device computation
+(lax.fori_loop over fresh keyed LLR generations), minus the cost of the
+generation-only loop.  Host-side per-call timing is unusable here: the
+remote-TPU dispatch path has ~25 ms round trips and caches repeated
+identical computations, which produced wildly wrong numbers both ways.
+
+Headline = conservative: all 50 iterations executed for every codeword
+(early termination disabled).  Supplementary numbers (early-termination
+at the FER~1e-2 operating point, layered schedule, sum-product) go to
+stderr.
 """
 
 import json
@@ -24,77 +29,87 @@ def main():
 
     from tpu_ldpc.codes import LdpcCode
     from tpu_ldpc.channel import noise_sigma2
+    from tpu_ldpc.golden import encode as golden_encode
 
     code = LdpcCode.judged()
     on_tpu = jax.default_backend() == "tpu"
     batch = 4096 if on_tpu else 256
+    inner = 20 if on_tpu else 2
     iters = 50
     ebn0_db = 2.0  # FER ~1e-2 operating point for this code
 
-    # pregenerate LLRs on host with a fixed seed (decode-only timing)
     rng = np.random.default_rng(0)
-    from tpu_ldpc.golden import encode as golden_encode
-
+    sigma2 = noise_sigma2(ebn0_db, code.rate)
     u = rng.integers(0, 2, (batch, code.k)).astype(np.uint8)
     c = golden_encode(code.H, u)
-    x = 1.0 - 2.0 * c
-    sigma2 = noise_sigma2(ebn0_db, code.rate)
-    llr = ((2.0 / sigma2) * (x + np.sqrt(sigma2) * rng.normal(size=x.shape))
-           ).astype(np.float32)
-    llr_d = jnp.asarray(llr)
-    # distinct device-resident buffers, cycled per rep: defeats any
-    # same-computation result caching in the runtime
-    n_buf = 8
-    llr_bufs = [llr_d] + [
-        jnp.asarray(
-            ((2.0 / sigma2)
-             * (x + np.sqrt(sigma2) * rng.normal(size=x.shape))
-             ).astype(np.float32)
-        )
-        for _ in range(n_buf - 1)
-    ]
+    x = jnp.asarray((1.0 - 2.0 * c).astype(np.float32))
+    scale, sig = float(2.0 / sigma2), float(np.sqrt(sigma2))
 
-    def build(early_stop, schedule="flooding"):
+    def gen(key):
+        return scale * (x + sig * jax.random.normal(key, x.shape, jnp.float32))
+
+    def build(early_stop, schedule="flooding", algo="minsum"):
         if on_tpu:
             from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
 
             return build_pallas_decoder(
-                code, algo="minsum", iters=iters, alpha=0.75,
+                code, algo=algo, iters=iters, alpha=0.75,
                 schedule=schedule, early_stop=early_stop,
             )
         from tpu_ldpc.decode.reference import build_decoder
 
         return build_decoder(
-            code, algo="minsum", iters=iters, alpha=0.75,
+            code, algo=algo, iters=iters, alpha=0.75,
             schedule=schedule, early_stop=early_stop,
         )
 
-    def timeit(fn, reps):
-        # block on every call (async dispatch makes last-result-only
-        # blocking unreliable) and cycle distinct inputs (see above)
-        r = fn(llr_d)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for i in range(reps):
-            out = fn(llr_bufs[i % n_buf])
-            jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps, r
+    def make_loop(dec):
+        @jax.jit
+        def many(key0):
+            def body(i, acc):
+                llr = gen(jax.random.fold_in(key0, i))
+                if dec is None:
+                    return acc + jnp.sum(llr).astype(jnp.int32)
+                _, _, iu = dec(llr)
+                return acc + jnp.sum(iu)
 
-    reps = 30 if on_tpu else 2
-    dt_full, res = timeit(build(early_stop=False), reps)
+            return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+
+        return many
+
+    def timed(dec, reps=3):
+        fn = make_loop(dec)
+        jax.block_until_ready(fn(jax.random.key(999)))
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(jax.random.key(r)))
+            best = min(best, time.perf_counter() - t0)
+        return best / inner
+
+    dt_gen = timed(None)
+    dt_full = timed(build(early_stop=False)) - dt_gen
     thpt = batch * code.k / dt_full
 
-    # sanity: the decode must actually work at this SNR
-    bits, ok, _ = map(np.asarray, res)
+    # correctness sanity at the operating point
+    fn = build(early_stop=False)
+    bits, ok, _ = map(np.asarray, fn(gen(jax.random.key(0))))
     fer = float((bits[:, : code.k] != u).any(axis=1).mean())
 
-    extras = {"fer_at_2dB_full50": fer, "backend": jax.default_backend(),
-              "batch": batch, "ms_per_batch": dt_full * 1e3}
+    extras = {
+        "fer_at_2dB_full50": fer,
+        "backend": jax.default_backend(),
+        "batch": batch,
+        "ms_per_batch_full50": dt_full * 1e3,
+        "ms_llr_gen": dt_gen * 1e3,
+    }
     if on_tpu:
-        dt_et, _ = timeit(build(early_stop=True), reps)
-        extras["early_term_gbps"] = batch * code.k / dt_et / 1e9
-        dt_lay, _ = timeit(build(early_stop=True, schedule="layered"), reps)
-        extras["layered_et_gbps"] = batch * code.k / dt_lay / 1e9
+        d = timed(build(early_stop=True)) - dt_gen
+        extras["early_term_2dB_gbps"] = batch * code.k / d / 1e9
+        d = timed(build(early_stop=True, schedule="layered")) - dt_gen
+        extras["layered_et_2dB_gbps"] = batch * code.k / d / 1e9
+        d = timed(build(early_stop=True, algo="sumproduct")) - dt_gen
+        extras["sumproduct_et_2dB_gbps"] = batch * code.k / d / 1e9
     print(json.dumps(extras), file=sys.stderr)
 
     print(json.dumps({

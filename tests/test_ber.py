@@ -1,6 +1,7 @@
 """Monte-Carlo harness tests (SURVEY.md §4.4): paired-seed statistics."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -50,8 +51,11 @@ def test_mc_step_counters_match_golden():
     code = toy_code()
     cfg = DecodeCfg(algo="minsum", iters=20, impl="jnp")
     batch, ebn0, seed, snr_idx, batch_ctr = 32, 4.0, 11, 0, 5
-    step = build_mc_step(code, cfg, batch, ebn0)
-    counters = np.asarray(jax.device_get(step(fold_key(seed, snr_idx, batch_ctr))))
+    step = build_mc_step(code, cfg, batch)
+    counters = np.asarray(jax.device_get(step(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(snr_idx, jnp.int32),
+        jnp.asarray(ebn0, jnp.float32), jnp.asarray(batch_ctr, jnp.int32),
+    )))
 
     # host-side replay of the same PRNG stream
     key_u, key_n = jax.random.split(fold_key(seed, snr_idx, batch_ctr))
@@ -100,11 +104,13 @@ def test_fault_injection_detected():
     code = toy_code()
     cfg = DecodeCfg(algo="minsum", iters=20, impl="jnp")
 
-    clean = np.asarray(
-        jax.device_get(
-            build_mc_step(code, cfg, 64, 8.0)(fold_key(1, 0, 0))
-        )
-    )
+    def run_step():
+        return np.asarray(jax.device_get(build_mc_step(code, cfg, 64)(
+            jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(8.0, jnp.float32), jnp.asarray(0, jnp.int32),
+        )))
+
+    clean = run_step()
 
     def flip_bits(key, bits, ok, iters_used):
         flip = jax.random.bernoulli(key, 0.05, bits.shape)
@@ -113,11 +119,7 @@ def test_fault_injection_detected():
     mc._FAULT_HOOK = flip_bits
     mc.build_mc_step.cache_clear()
     try:
-        faulty = np.asarray(
-            jax.device_get(
-                build_mc_step(code, cfg, 64, 8.0)(fold_key(1, 0, 0))
-            )
-        )
+        faulty = run_step()
     finally:
         mc._FAULT_HOOK = None
         mc.build_mc_step.cache_clear()
@@ -126,3 +128,17 @@ def test_fault_injection_detected():
     assert faulty[2] > clean[2]          # frame errors jump
     assert faulty[4] >= clean[4]         # corrupted-but-"ok" frames counted
     assert faulty[2] <= faulty[3] + faulty[4]  # accounting invariant
+
+
+def test_steps_per_call_grouping_invariant():
+    """Counter totals are identical for any steps_per_call grouping."""
+    code = toy_code()
+    cfg = DecodeCfg(algo="minsum", iters=15, impl="jnp")
+    kw = dict(cfg=cfg, batch=32, target_frame_errors=1000,
+              max_frames=256, seed=13)
+    r1 = run_ber(code, [3.0], steps_per_call=1, **kw)[0]
+    r2 = run_ber(code, [3.0], steps_per_call=4, **kw)[0]
+    assert r1.frames == r2.frames
+    assert r1.bit_errors == r2.bit_errors
+    assert r1.frame_errors == r2.frame_errors
+    assert r1.iter_sum == r2.iter_sum

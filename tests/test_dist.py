@@ -32,8 +32,13 @@ def mesh():
     return make_mesh(jax.devices())
 
 
-def _step_args(seed, snr_idx, batch_ctr):
-    return [jnp.asarray([v], jnp.int32) for v in (seed, snr_idx, batch_ctr)]
+def _step_args(seed, snr_idx, ebn0, batch_ctr):
+    return [
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([snr_idx], jnp.int32),
+        jnp.asarray([ebn0], jnp.float32),
+        jnp.asarray([batch_ctr], jnp.int32),
+    ]
 
 
 def test_psum_counters_match_per_device_replay(mesh):
@@ -41,8 +46,8 @@ def test_psum_counters_match_per_device_replay(mesh):
     code = toy_code()
     cfg = DecodeCfg(algo="minsum", iters=20, impl="jnp")
     per_dev = 16
-    step = build_sharded_mc_step(code, cfg, per_dev, 4.0, mesh)
-    counters = np.asarray(jax.device_get(step(*_step_args(3, 1, 2))))
+    step = build_sharded_mc_step(code, cfg, per_dev, mesh)
+    counters = np.asarray(jax.device_get(step(*_step_args(3, 1, 4.0, 2))))
 
     totals = np.zeros(6, dtype=np.int64)
     for dev in range(8):
@@ -72,11 +77,11 @@ def test_psum_counters_match_per_device_replay(mesh):
 def test_sharded_step_deterministic(mesh):
     code = toy_code()
     cfg = DecodeCfg(algo="minsum", iters=15, impl="jnp")
-    step = build_sharded_mc_step(code, cfg, 8, 3.0, mesh)
-    c1 = np.asarray(jax.device_get(step(*_step_args(0, 0, 0))))
-    c2 = np.asarray(jax.device_get(step(*_step_args(0, 0, 0))))
+    step = build_sharded_mc_step(code, cfg, 8, mesh)
+    c1 = np.asarray(jax.device_get(step(*_step_args(0, 0, 3.0, 0))))
+    c2 = np.asarray(jax.device_get(step(*_step_args(0, 0, 3.0, 0))))
     assert (c1 == c2).all()
-    c3 = np.asarray(jax.device_get(step(*_step_args(0, 0, 1))))
+    c3 = np.asarray(jax.device_get(step(*_step_args(0, 0, 3.0, 1))))
     assert not (c1 == c3).all()  # different batch counter -> new frames
 
 
@@ -120,10 +125,10 @@ def test_mesh_size_changes_frames_per_step(mesh):
     code = toy_code()
     cfg = DecodeCfg(algo="minsum", iters=10, impl="jnp")
     half = make_mesh(jax.devices()[:4])
-    s8 = build_sharded_mc_step(code, cfg, 8, 3.0, mesh)
-    s4 = build_sharded_mc_step(code, cfg, 8, 3.0, half)
-    c8 = np.asarray(jax.device_get(s8(*_step_args(1, 0, 0))))
-    c4 = np.asarray(jax.device_get(s4(*_step_args(1, 0, 0))))
+    s8 = build_sharded_mc_step(code, cfg, 8, mesh)
+    s4 = build_sharded_mc_step(code, cfg, 8, half)
+    c8 = np.asarray(jax.device_get(s8(*_step_args(1, 0, 3.0, 0))))
+    c4 = np.asarray(jax.device_get(s4(*_step_args(1, 0, 3.0, 0))))
     assert c8[0] == 64 and c4[0] == 32
     # device streams are a superset: devices 0..3 contribute identically,
     # so the 8-device totals differ from 4-device totals by devices 4..7

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 
-def noise_sigma2(ebn0_db: float, rate: float) -> float:
+def noise_sigma2(ebn0_db, rate: float):
+    """Noise variance; ebn0_db may be a python float or a traced scalar."""
     return 1.0 / (2.0 * rate * 10.0 ** (ebn0_db / 10.0))
 
 
@@ -21,9 +22,12 @@ def bpsk(c):
     return 1.0 - 2.0 * c.astype(jnp.float32)
 
 
-def awgn_llrs(key, c, ebn0_db: float, rate: float):
-    """Modulate codewords, add AWGN, return channel LLRs (batch, n)."""
-    sigma2 = noise_sigma2(ebn0_db, rate)
+def awgn_llrs(key, c, ebn0_db, rate: float):
+    """Modulate codewords, add AWGN, return channel LLRs (batch, n).
+
+    ebn0_db may be a traced scalar so one compiled step serves a whole
+    Eb/N0 sweep."""
+    sigma2 = jnp.asarray(noise_sigma2(ebn0_db, rate), jnp.float32)
     x = bpsk(c)
     y = x + jnp.sqrt(sigma2) * jax.random.normal(key, x.shape, dtype=jnp.float32)
     return (2.0 / sigma2) * y

@@ -63,15 +63,18 @@ def build_sharded_mc_step(
     code: LdpcCode,
     cfg,
     per_device_batch: int,
-    ebn0_db: float,
     mesh: Mesh,
     axis: str = "mc",
+    steps_per_call: int = 1,
 ):
-    """Jitted SPMD MC step: (seed, snr_idx, batch_ctr) -> psum'd counters.
+    """Jitted SPMD MC step:
+    (seed, snr_idx, ebn0_db, ctr0) -> psum'd counters.
 
-    The returned counters are replicated over the mesh, so every host's
-    control loop sees identical values and makes identical early-stop
-    decisions (§3.3's replicated-control discipline).
+    Eb/N0 is traced (one compile per sweep); `steps_per_call` batches
+    run per dispatch on every device.  The returned counters are
+    replicated over the mesh, so every host's control loop sees
+    identical values and makes identical early-stop decisions (§3.3's
+    replicated-control discipline).
     """
     from tpu_ldpc.decode.api import build_decode_fn
     from tpu_ldpc.encode.encoder import build_encoder
@@ -81,9 +84,8 @@ def build_sharded_mc_step(
     k, rate = code.k, code.rate
     batch = per_device_batch
 
-    def local_step(seed, snr_idx, batch_ctr):
-        dev = jax.lax.axis_index(axis)
-        key = fold_key_device(seed[0], snr_idx[0], batch_ctr[0], dev)
+    def one_batch(seed, snr_idx, ebn0_db, ctr, dev):
+        key = fold_key_device(seed, snr_idx, ctr, dev)
         key_u, key_n = jax.random.split(key)
         u = jax.random.bernoulli(key_u, 0.5, (batch, k)).astype(jnp.uint8)
         c = encode_fn(u)
@@ -91,7 +93,7 @@ def build_sharded_mc_step(
         bits, ok, iters_used = decode_fn(llr)
         wrong = bits[:, :k] != u
         frame_wrong = jnp.any(wrong, axis=1)
-        counters = jnp.stack(
+        return jnp.stack(
             [
                 jnp.asarray(batch, jnp.int32),
                 jnp.sum(wrong, dtype=jnp.int32),
@@ -101,12 +103,24 @@ def build_sharded_mc_step(
                 jnp.sum(iters_used, dtype=jnp.int32),
             ]
         )
+
+    def local_step(seed, snr_idx, ebn0_db, ctr0):
+        dev = jax.lax.axis_index(axis)
+
+        def body(t, acc):
+            return acc + one_batch(
+                seed[0], snr_idx[0], ebn0_db[0], ctr0[0] + t, dev
+            )
+
+        counters = jax.lax.fori_loop(
+            0, steps_per_call, body, jnp.zeros(6, jnp.int32)
+        )
         return jax.lax.psum(counters, axis)  # ★ the collective (ICI/DCN)
 
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
@@ -125,20 +139,23 @@ def run_ber_sharded(
     axis: str = "mc",
     progress: bool = False,
     state=None,
+    steps_per_call: int | None = None,
 ):
     """Multi-device frame-error-targeted sweep (host loop of §3.3).
 
-    `batch` is the per-device batch; each step decodes
-    batch * mesh.size frames across the mesh.
+    `batch` is the per-device batch; each dispatch decodes
+    batch * mesh.size * steps_per_call frames across the mesh.
     """
-    from tpu_ldpc.sim.mc import SnrResult
+    from tpu_ldpc.sim.mc import SnrResult, default_steps_per_call
 
+    if steps_per_call is None:
+        steps_per_call = default_steps_per_call()
     n_dev = mesh.size
+    step = build_sharded_mc_step(
+        code, cfg, batch, mesh, axis, steps_per_call
+    )
     results = []
     for snr_idx, ebn0 in enumerate(ebn0_grid):
-        step = build_sharded_mc_step(
-            code, cfg, batch, float(ebn0), mesh, axis
-        )
         res = SnrResult(ebn0_db=float(ebn0))
         batch_ctr = 0
         if state is not None:
@@ -149,11 +166,12 @@ def run_ber_sharded(
         while (
             res.frame_errors < target_frame_errors and res.frames < max_frames
         ):
-            args = [
-                jnp.asarray([v], jnp.int32)
-                for v in (seed, snr_idx, batch_ctr)
-            ]
-            counters = np.asarray(jax.device_get(step(*args)))
+            counters = np.asarray(jax.device_get(step(
+                jnp.asarray([seed], jnp.int32),
+                jnp.asarray([snr_idx], jnp.int32),
+                jnp.asarray([ebn0], jnp.float32),
+                jnp.asarray([batch_ctr], jnp.int32),
+            )))
             # counters are already psum'd (replicated): every host adds the
             # same totals, so stop decisions agree across processes
             res.frames += int(counters[0])
@@ -162,7 +180,7 @@ def run_ber_sharded(
             res.detected += int(counters[3])
             res.undetected += int(counters[4])
             res.iter_sum += int(counters[5])
-            batch_ctr += 1
+            batch_ctr += steps_per_call
             if state is not None:
                 state.save_point(snr_idx, res, batch_ctr)
         res.wall_s += time.perf_counter() - t0

@@ -89,8 +89,21 @@ _FAULT_HOOK = None
 
 
 @functools.lru_cache(maxsize=64)
-def build_mc_step(code: LdpcCode, cfg: DecodeCfg, batch: int, ebn0_db: float):
-    """Jitted MC step: key -> counter vector (len COUNTER_FIELDS,) int64."""
+def build_mc_step(
+    code: LdpcCode,
+    cfg: DecodeCfg,
+    batch: int,
+    steps_per_call: int = 1,
+):
+    """Jitted MC step: (seed, snr_idx, ebn0_db, ctr0) -> counter vector.
+
+    Eb/N0 is a *traced* scalar, so one compilation serves the entire
+    sweep; `steps_per_call` batches run per dispatch inside an on-device
+    fori_loop (host<->device round trips are expensive in remote-TPU
+    setups).  PRNG discipline is unchanged: inner step t uses
+    fold_key(seed, snr_idx, ctr0 + t), so counter totals are identical
+    for any steps_per_call grouping.
+    """
     from tpu_ldpc.decode.api import build_decode_fn
 
     encode_fn = build_encoder(code, "generator")
@@ -98,8 +111,8 @@ def build_mc_step(code: LdpcCode, cfg: DecodeCfg, batch: int, ebn0_db: float):
     k, rate = code.k, code.rate
     fault_hook = _FAULT_HOOK
 
-    @jax.jit
-    def step(key):
+    def one_batch(seed, snr_idx, ebn0_db, ctr):
+        key = fold_key(seed, snr_idx, ctr)
         key_u, key_n = jax.random.split(key)
         u = jax.random.bernoulli(key_u, 0.5, (batch, k)).astype(jnp.uint8)
         c = encode_fn(u)
@@ -109,23 +122,33 @@ def build_mc_step(code: LdpcCode, cfg: DecodeCfg, batch: int, ebn0_db: float):
             bits, ok, iters_used = fault_hook(key, bits, ok, iters_used)
         info = bits[:, :k]
         wrong = info != u
-        bit_err = jnp.sum(wrong, dtype=jnp.int32)
         frame_wrong = jnp.any(wrong, axis=1)
-        frame_err = jnp.sum(frame_wrong, dtype=jnp.int32)
-        detected = jnp.sum(~ok, dtype=jnp.int32)
-        undetected = jnp.sum(ok & frame_wrong, dtype=jnp.int32)
         return jnp.stack(
             [
                 jnp.asarray(batch, jnp.int32),
-                bit_err,
-                frame_err,
-                detected,
-                undetected,
+                jnp.sum(wrong, dtype=jnp.int32),
+                jnp.sum(frame_wrong, dtype=jnp.int32),
+                jnp.sum(~ok, dtype=jnp.int32),
+                jnp.sum(ok & frame_wrong, dtype=jnp.int32),
                 jnp.sum(iters_used, dtype=jnp.int32),
             ]
         )
 
+    @jax.jit
+    def step(seed, snr_idx, ebn0_db, ctr0):
+        def body(t, acc):
+            return acc + one_batch(seed, snr_idx, ebn0_db, ctr0 + t)
+
+        return jax.lax.fori_loop(
+            0, steps_per_call, body, jnp.zeros(6, jnp.int32)
+        )
+
     return step
+
+
+def default_steps_per_call() -> int:
+    """Batches per dispatch: amortize round trips on accelerators."""
+    return 8 if jax.default_backend() == "tpu" else 1
 
 
 def run_ber(
@@ -139,6 +162,7 @@ def run_ber(
     mesh=None,
     progress: bool = False,
     state=None,
+    steps_per_call: int | None = None,
 ) -> list[SnrResult]:
     """Frame-error-targeted Eb/N0 sweep.  Single-device unless `mesh`
     is given (then the batch is sharded; see tpu_ldpc.dist)."""
@@ -148,10 +172,13 @@ def run_ber(
         return run_ber_sharded(
             code, ebn0_grid, cfg, batch, target_frame_errors, max_frames,
             seed, mesh, progress=progress, state=state,
+            steps_per_call=steps_per_call,
         )
+    if steps_per_call is None:
+        steps_per_call = default_steps_per_call()
+    step = build_mc_step(code, cfg, batch, steps_per_call)
     results = []
     for snr_idx, ebn0 in enumerate(ebn0_grid):
-        step = build_mc_step(code, cfg, batch, float(ebn0))
         res = SnrResult(ebn0_db=float(ebn0))
         batch_ctr = 0
         if state is not None:
@@ -160,15 +187,19 @@ def run_ber(
                 res, batch_ctr = saved
         t0 = time.perf_counter()
         while res.frame_errors < target_frame_errors and res.frames < max_frames:
-            key = fold_key(seed, snr_idx, batch_ctr)
-            counters = np.asarray(jax.device_get(step(key)))
+            counters = np.asarray(jax.device_get(step(
+                jnp.asarray(seed, jnp.int32),
+                jnp.asarray(snr_idx, jnp.int32),
+                jnp.asarray(ebn0, jnp.float32),
+                jnp.asarray(batch_ctr, jnp.int32),
+            )))
             res.frames += int(counters[0])
             res.bit_errors += int(counters[1])
             res.frame_errors += int(counters[2])
             res.detected += int(counters[3])
             res.undetected += int(counters[4])
             res.iter_sum += int(counters[5])
-            batch_ctr += 1
+            batch_ctr += steps_per_call
             if state is not None:
                 state.save_point(snr_idx, res, batch_ctr)
         res.wall_s += time.perf_counter() - t0

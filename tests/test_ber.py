@@ -142,3 +142,31 @@ def test_steps_per_call_grouping_invariant():
     assert r1.bit_errors == r2.bit_errors
     assert r1.frame_errors == r2.frame_errors
     assert r1.iter_sum == r2.iter_sum
+
+
+def test_judged_waterfall_fixture_consistency():
+    """Frozen TPU sweep fixture (SURVEY §4.8): sanity-check shape and
+    anchors.  (Bit-level regression is re-asserted on TPU by re-running
+    the sweep with the same seeds; on CPU we check the frozen curve.)"""
+    import os
+
+    from tpu_ldpc.report.waterfall import load_csv
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "judged_minsum50.csv")
+    text = "\n".join(
+        ln for ln in open(path).read().splitlines()
+        if not ln.startswith("#")
+    )
+    rows = load_csv(text)
+    fer = {r["ebn0_db"]: r["fer"] for r in rows}
+    # monotone decreasing
+    xs = sorted(fer)
+    assert all(fer[a] >= fer[b] for a, b in zip(xs, xs[1:]))
+    # literature-envelope anchors (BASELINE.md): FER ~1e-2 around 1.5-2 dB,
+    # <= 1e-3 by 2.5 dB, no Shannon violation (FER must be high at 0.2 dB
+    # equivalent -- here: high FER at 1.0 dB)
+    assert fer[1.0] > 0.3
+    assert 3e-3 <= fer[2.0] <= 3e-2
+    assert fer[2.5] <= 1e-3
+    assert fer[3.0] <= 1e-4

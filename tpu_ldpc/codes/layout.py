@@ -62,8 +62,11 @@ class TannerLayout:
 
     def vmem_bytes(self, batch_tile: int, dtype_bytes: int = 4) -> int:
         """Estimated VMEM residency of the fused decoder state for one tile:
-        R (E, Z, B) + P scratch + L input (dtype each) + int8 hard bits."""
-        per_lane = (self.E + 2 * self.nb) * self.Z * dtype_bytes + self.nb * self.Z
+        R (E, Z, B) + P scratch + L input (double-buffered across grid
+        steps by the Pallas pipeline, hence 2x) + int8 hard bits."""
+        per_lane = (
+            (self.E + 3 * self.nb) * self.Z * dtype_bytes + self.nb * self.Z
+        )
         return per_lane * batch_tile
 
     def decompile(self) -> np.ndarray:

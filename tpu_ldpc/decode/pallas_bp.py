@@ -54,7 +54,7 @@ from tpu_ldpc.codes.code import LdpcCode
 from tpu_ldpc.golden.decoder import SP_MAX_MAG, SP_MIN_MAG
 
 DEFAULT_BATCH_TILE = 256
-VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+VMEM_BUDGET_BYTES = int(11.5 * 1024 * 1024)
 SIGN_MASK = np.int32(np.uint32(0x80000000))
 
 

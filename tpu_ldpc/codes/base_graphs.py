@@ -228,6 +228,7 @@ def make_base_graph(
     Z: int,
     seed: int = 0,
     n_heavy: int | None = None,
+    info_weight: int | None = None,
 ) -> np.ndarray:
     """Build an 802.11n-style base matrix:
 
@@ -250,7 +251,9 @@ def make_base_graph(
     rng = np.random.default_rng(seed + 0xC0DE)
 
     # info columns
-    base_w = 3 if mb >= 4 else 2
+    if info_weight is None:
+        info_weight = 3 if mb >= 4 else 2
+    base_w = info_weight
     heavy_cols = np.linspace(0, kb - 1, n_heavy).astype(int) if n_heavy else []
     for j in range(kb):
         if j in heavy_cols:
@@ -309,12 +312,37 @@ def family_base_graph(family: str, rate: str, Z: int) -> np.ndarray:
             f"family {family!r} supports Z in {FAMILY_LIFTS[family]}, got {Z}"
         )
     mb, nb = _RATE_SHAPES[rate]
-    seed = hash((family, rate, Z)) & 0x7FFFFFFF
     # stable across processes: derive seed from the strings deterministically
     seed = (
         sum(ord(c) * 131 ** p for p, c in enumerate(family + "/" + rate)) + 7919 * Z
     ) & 0x7FFFFFFF
-    return make_base_graph(mb, nb, Z, seed=seed)
+    import os
+
+    data = os.path.join(
+        os.path.dirname(__file__), "data",
+        f"{family}_r{rate.replace('/', '')}_z{Z}.qc",
+    )
+    if os.path.exists(data):
+        from tpu_ldpc.codes.alist import load_shift_table
+
+        return np.asarray(load_shift_table(data).B)
+    return generate_family_cell(family, rate, Z, seed)
+
+
+def generate_family_cell(family: str, rate: str, Z: int, seed: int) -> np.ndarray:
+    """Construct + girth-anneal one family cell (what produced the
+    committed data tables; kept for reproducibility and custom cells)."""
+    mb, nb = _RATE_SHAPES[rate]
+    # heavier info columns (weight 4) where the base is tall enough —
+    # measurably fewer low-weight codewords / undetected errors; shallow
+    # (mb <= 4, rate 5/6) bases stay at weight 3 or 4-cycle freedom
+    # becomes unreachable at small Z
+    B = make_base_graph(mb, nb, Z, seed=seed,
+                        info_weight=4 if mb >= 6 else 3)
+    from tpu_ldpc.codes.anneal import anneal_shifts
+
+    B, _stats = anneal_shifts(B, Z, steps=2000, seed=seed)
+    return B
 
 
 @functools.lru_cache(maxsize=None)

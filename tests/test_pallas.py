@@ -125,3 +125,20 @@ def test_wider_lift_bitexact():
     assert (pb == gb).all()
     assert (pok == gok).all()
     assert (pit == git).all()
+
+
+def test_bf16_message_mode():
+    """Quantized (bf16 R) mode: not bit-exact by contract, but decisions
+    agree with f32 at operating SNR on this toy batch."""
+    import jax.numpy as jnp
+
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 64, 4.0, seed=31)
+    f32 = build_pallas_decoder(code, algo="minsum", iters=15,
+                               interpret=True)
+    bf16 = build_pallas_decoder(code, algo="minsum", iters=15,
+                                interpret=True, msg_dtype=jnp.bfloat16)
+    b1, ok1, _ = map(np.asarray, f32(llr))
+    b2, ok2, _ = map(np.asarray, bf16(llr))
+    assert (b1 == b2).all(axis=1).mean() >= 0.97
+    assert (ok1 == ok2).mean() >= 0.97

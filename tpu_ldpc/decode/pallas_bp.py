@@ -166,8 +166,17 @@ def build_pallas_decoder(
     exit_block: int = 5,
     interpret: bool | None = None,
     dtype=jnp.float32,
+    msg_dtype=None,
 ):
     """Build a jitted Pallas decoder: llr (batch, n) -> (bits, ok, iters_used).
+
+    msg_dtype: storage dtype for the CN->VN message scratch R (SURVEY.md
+    M7 quantization lever).  None/float32 keeps the bit-exact contract;
+    jnp.bfloat16 halves R's VMEM footprint and traffic — compute stays
+    f32 (sublane rotates require 32-bit data), only loads/stores convert.
+    Quantized modes trade the bit-exact-vs-golden property for
+    throughput; min-sum is famously robust to message quantization
+    (hardware decoders run 6-8 bit messages).
 
     Raises NotImplementedError if the code's message state cannot fit the
     VMEM budget (the decode.api dispatcher then falls back to the jnp
@@ -198,6 +207,16 @@ def build_pallas_decoder(
     cn_update = (
         _cn_minsum_kernel if algo == "minsum" else _cn_sumproduct_kernel
     )
+    if msg_dtype is None:
+        msg_dtype = dtype
+    quantized = msg_dtype != dtype
+
+    def load_R(R_scr, e):
+        r = R_scr[e]
+        return r.astype(dtype) if quantized else r
+
+    def store_R(R_scr, e, val):
+        R_scr[e] = val.astype(msg_dtype) if quantized else val
 
     def syndrome_violations(P_scr):
         """Standalone syndrome pass: total violation count, (1, B) int32."""
@@ -216,7 +235,7 @@ def build_pallas_decoder(
         return out
 
     def kernel(L_ref, bits_ref, ok_ref, iu_ref, P_scr, R_scr):
-        zero_msgs = jnp.zeros((Z, batch_tile), dtype)
+        zero_msgs = jnp.zeros((Z, batch_tile), msg_dtype)
         for j in range(nb):
             P_scr[j] = L_ref[j]
         for e in range(E):
@@ -241,9 +260,9 @@ def build_pallas_decoder(
                         jnp.sum((par != 0).astype(jnp.int32), axis=0,
                                 keepdims=True)
                     )
-                qs = [t - R_scr[e] for t, e in zip(ts, es)]
+                qs = [t - load_R(R_scr, e) for t, e in zip(ts, es)]
                 for e, r_new in zip(es, cn_update(qs, f_alpha, f_beta)):
-                    R_scr[e] = r_new
+                    store_R(R_scr, e, r_new)
             if not early_stop:
                 return None
             viol = viols[0]
@@ -257,7 +276,7 @@ def build_pallas_decoder(
             for j in range(nb):
                 p = L_ref[j]
                 for e in col_edges[j]:
-                    p = p + _roll_to_var(R_scr[e], eshift[e], Z)
+                    p = p + _roll_to_var(load_R(R_scr, e), eshift[e], Z)
                 P_scr[j] = p
 
         def latch(viol, it_minus_1):
@@ -289,7 +308,7 @@ def build_pallas_decoder(
                     es = row_edges[i]
                     qs = [
                         _roll_to_check(P_scr[ecol[e]], eshift[e], Z)
-                        - R_scr[e]
+                        - load_R(R_scr, e)
                         for e in es
                     ]
                     outs = cn_update(qs, f_alpha, f_beta)
@@ -297,7 +316,7 @@ def build_pallas_decoder(
                         P_scr[ecol[e]] = _roll_to_var(
                             q + r_new, eshift[e], Z
                         )
-                        R_scr[e] = r_new
+                        store_R(R_scr, e, r_new)
                 if early_stop:
                     latch(syndrome_violations(P_scr), it)
 
@@ -387,7 +406,7 @@ def build_pallas_decoder(
             ],
             scratch_shapes=[
                 pltpu.VMEM((nb, Z, batch_tile), dtype),
-                pltpu.VMEM((E, Z, batch_tile), dtype),
+                pltpu.VMEM((E, Z, batch_tile), msg_dtype),
             ],
             interpret=interpret,
         )(x)

@@ -64,3 +64,37 @@ def test_code_parity_uses_native_consistently(judged_code):
     """LdpcCode.parity_M (native path) equals the golden computation."""
     Mg = golden_enc.parity_map(judged_code.H)
     assert (judged_code.parity_M == Mg).all()
+
+
+def test_native_minsum_decoder_bitexact():
+    """Native CPU decoder follows the golden contract exactly."""
+    from tpu_ldpc.golden import decode as golden_decode, encode as golden_encode
+
+    code = LdpcCode.from_base_graph(make_base_graph(4, 8, 8, seed=7), 8)
+    rng = np.random.default_rng(6)
+    u = rng.integers(0, 2, (48, code.k)).astype(np.uint8)
+    c = golden_encode(code.H, u)
+    x = 1.0 - 2.0 * c
+    s2 = 1 / (2 * code.rate * 10 ** 0.25)
+    llr = ((2 / s2) * (x + np.sqrt(s2) * rng.normal(size=x.shape))
+           ).astype(np.float32)
+    for alpha, beta in [(0.75, 0.0), (1.0, 0.2)]:
+        gb, gok, git = golden_decode(
+            code.H, llr, algo="minsum", iters=20, alpha=alpha, beta=beta,
+            dtype=np.float32,
+        )
+        nb_, nok, nit = _native.minsum_decode(
+            code.H, llr, iters=20, alpha=alpha, beta=beta
+        )
+        assert (gb == nb_).all()
+        assert (gok == nok).all()
+        assert (git == nit).all()
+    # no-early-stop path
+    gb, gok, _ = golden_decode(
+        code.H, llr, algo="minsum", iters=20, dtype=np.float32,
+        early_stop=False,
+    )
+    nb_, nok, _ = _native.minsum_decode(code.H, llr, iters=20,
+                                        early_stop=False)
+    assert (gb == nb_).all()
+    assert (gok == nok).all()

@@ -31,7 +31,8 @@ def _build() -> str | None:
     ):
         return _SO
     tmp = _SO + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, _SO)
@@ -66,6 +67,14 @@ def _load():
     lib.gf2_inv.restype = ip
     lib.gf2_parity_map.argtypes = [i8p, ip, ip, i8p]
     lib.gf2_parity_map.restype = ip
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.ldpc_minsum_decode.argtypes = [
+        i32p, i32p, i32p, i32p, i32p, ip, ip, ip,
+        f32p, ip, ip, ctypes.c_float, ctypes.c_float, ip,
+        i8p, i8p, i32p,
+    ]
+    lib.ldpc_minsum_decode.restype = None
     return lib
 
 
@@ -106,3 +115,41 @@ def parity_map(H_dense: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"parity part not invertible (rc={rc})")
     return out
+
+
+def minsum_decode(H, llr, iters=50, alpha=0.75, beta=0.0, early_stop=True,
+                  _graph_cache={}):
+    """Native CPU min-sum decode (flooding), bit-exact vs the golden
+    float32 model.  H: scipy sparse; llr: (batch, n) float32."""
+    import scipy.sparse as sp
+
+    key = id(H)
+    g = _graph_cache.get(key)
+    if g is None:
+        Hc = sp.coo_matrix(H)
+        order = np.lexsort((Hc.col, Hc.row))
+        erow = Hc.row[order].astype(np.int32)
+        ecol = Hc.col[order].astype(np.int32)
+        m, n = Hc.shape
+        E = len(erow)
+        row_ptr = np.zeros(m + 1, dtype=np.int32)
+        np.cumsum(np.bincount(erow, minlength=m), out=row_ptr[1:])
+        corder = np.argsort(ecol, kind="stable").astype(np.int32)
+        col_ptr = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(np.bincount(ecol, minlength=n), out=col_ptr[1:])
+        g = (erow, ecol, row_ptr, corder, col_ptr, m, n, E)
+        if len(_graph_cache) > 32:
+            _graph_cache.clear()
+        _graph_cache[key] = g
+    erow, ecol, row_ptr, col_edges, col_ptr, m, n, E = g
+    llr = np.ascontiguousarray(llr, dtype=np.float32)
+    batch = llr.shape[0]
+    bits = np.zeros((batch, n), dtype=np.uint8)
+    ok = np.zeros(batch, dtype=np.uint8)
+    iters_used = np.zeros(batch, dtype=np.int32)
+    lib.ldpc_minsum_decode(
+        erow, ecol, row_ptr, col_edges, col_ptr, m, n, E,
+        llr, batch, iters, alpha, beta, int(early_stop),
+        bits, ok, iters_used,
+    )
+    return bits, ok.astype(bool), iters_used

@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -shared -fPIC native.cpp -o libtpuldpc_native.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -192,6 +193,101 @@ int gf2_parity_map(const uint8_t* H, int m, int n, uint8_t* out) {
         for (int c = 0; c < k; ++c)
             out[(size_t)r * k + c] = (uint8_t)aug.get(r, m + c);
     return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// CPU min-sum BP decoder (flooding), float32, following the golden
+// arithmetic contract of tpu_ldpc/golden/decoder.py EXACTLY:
+// edges sorted by (row, col); VN sums accumulated in ascending row
+// order per column; two-min scan with first-occurrence argmin;
+// R = (total_sign*sign_e) * (alpha * max(excl-beta, 0)); bit = P < 0;
+// syndrome checked on channel LLRs (iters_used=0) and after each
+// iteration.  Bit-exact vs the golden float32 model (tested).
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+void ldpc_minsum_decode(
+    const int32_t* erow,   // (E,) edge rows, sorted by (row, col)
+    const int32_t* ecol,   // (E,) edge cols
+    const int32_t* row_ptr,     // (m+1,) edge ranges per row
+    const int32_t* col_edges,   // (E,) edge ids grouped by col, asc row
+    const int32_t* col_ptr,     // (n+1,)
+    int m, int n, int E,
+    const float* llr,      // (batch, n)
+    int batch, int iters, float alpha, float beta, int early_stop,
+    uint8_t* bits_out,     // (batch, n)
+    uint8_t* ok_out,       // (batch,)
+    int32_t* iters_out)    // (batch,)
+{
+    #pragma omp parallel for schedule(dynamic)
+    for (int b = 0; b < batch; ++b) {
+        const float* L = llr + (size_t)b * n;
+        std::vector<float> R(E, 0.0f), P(L, L + n);
+        uint8_t* bits = bits_out + (size_t)b * n;
+
+        auto hard_syndrome_ok = [&]() {
+            for (int i = 0; i < m; ++i) {
+                int par = 0;
+                for (int32_t e = row_ptr[i]; e < row_ptr[i + 1]; ++e)
+                    par ^= (P[ecol[e]] < 0.0f) ? 1 : 0;
+                if (par) return false;
+            }
+            return true;
+        };
+        auto emit = [&](bool ok, int it) {
+            for (int c = 0; c < n; ++c) bits[c] = P[c] < 0.0f;
+            ok_out[b] = ok;
+            iters_out[b] = it;
+        };
+
+        if (early_stop && hard_syndrome_ok()) { emit(true, 0); continue; }
+
+        bool converged = false;
+        for (int it = 1; it <= iters; ++it) {
+            // CN pass: Q from previous-iteration P
+            for (int i = 0; i < m; ++i) {
+                int32_t e0 = row_ptr[i], e1 = row_ptr[i + 1];
+                float min1 = 1e30f, min2 = 1e30f, tsign = 1.0f;
+                int argmin = -1;
+                for (int32_t e = e0; e < e1; ++e) {
+                    float q = P[ecol[e]] - R[e];
+                    float mag = std::fabs(q);
+                    tsign *= (q < 0.0f) ? -1.0f : 1.0f;
+                    if (mag < min1) { min2 = min1; min1 = mag; argmin = e; }
+                    else if (mag < min2) { min2 = mag; }
+                }
+                if (e1 - e0 == 1) min2 = min1;  // degree-1 row (golden)
+                for (int32_t e = e0; e < e1; ++e) {
+                    float q = P[ecol[e]] - R[e];
+                    float sign = (q < 0.0f) ? -1.0f : 1.0f;
+                    float me = (e == argmin) ? min2 : min1;
+                    me = std::fmax(me - beta, 0.0f);
+                    R[e] = (tsign * sign) * (alpha * me);
+                }
+            }
+            // (within a row, each edge's R is read before its own
+            // overwrite and no other edge touches it: contract-safe)
+            // VN pass: ascending row order per column
+            for (int c = 0; c < n; ++c) {
+                float p = L[c];
+                for (int32_t t = col_ptr[c]; t < col_ptr[c + 1]; ++t)
+                    p += R[col_edges[t]];
+                P[c] = p;
+            }
+            if (early_stop && hard_syndrome_ok()) {
+                emit(true, it);
+                converged = true;
+                break;
+            }
+        }
+        if (!converged) {
+            bool ok = early_stop ? false : hard_syndrome_ok();
+            emit(ok, iters);
+        }
+    }
 }
 
 }  // extern "C"

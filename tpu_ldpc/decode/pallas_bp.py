@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_ldpc.codes.code import LdpcCode
 from tpu_ldpc.golden.decoder import SP_MAX_MAG, SP_MIN_MAG
 
-DEFAULT_BATCH_TILE = 256
+DEFAULT_BATCH_TILE = 128
 VMEM_BUDGET_BYTES = int(11.5 * 1024 * 1024)
 SIGN_MASK = np.int32(np.uint32(0x80000000))
 

@@ -185,3 +185,30 @@ class TestCli:
 
         code = load_shift_table(out)
         assert code.n == 64
+
+
+class TestObservability:
+    def test_step_jsonl_written(self, tmp_path):
+        code = toy_code()
+        cfg = DecodeCfg(algo="minsum", iters=10, impl="jnp")
+        log = str(tmp_path / "steps.jsonl")
+        run_ber(code, [4.0], cfg=cfg, batch=16, target_frame_errors=3,
+                max_frames=128, seed=2, step_log=log)
+        recs = [json.loads(ln) for ln in open(log)]
+        assert len(recs) >= 1
+        assert recs[-1]["frames"] >= recs[0]["frames"]
+        assert "info_bits_per_s" in recs[0]
+
+    def test_plot_waterfall(self, tmp_path):
+        from tpu_ldpc.report.plots import plot_waterfall
+        from tpu_ldpc.sim.mc import SnrResult
+
+        rs = [SnrResult(ebn0_db=1.0, frames=100, frame_errors=50,
+                        bit_errors=300, bits=1600),
+              SnrResult(ebn0_db=2.0, frames=100, frame_errors=5,
+                        bit_errors=20, bits=1600)]
+        out = plot_waterfall({"toy": rs}, str(tmp_path / "w.png"))
+        if out is not None:  # matplotlib optional
+            import os
+
+            assert os.path.getsize(out) > 0

@@ -51,6 +51,7 @@ class RunCfg:
     state_path: str = ""     # checkpoint file; empty = no checkpointing
     out_csv: str = ""
     jsonl: str = ""          # structured per-point records
+    step_jsonl: str = ""     # per-dispatch observability records
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,7 @@ def build_parser():
     p.add_argument("--checkpoint", help="sweep state file (resume if exists)")
     p.add_argument("--csv", help="write waterfall CSV here")
     p.add_argument("--jsonl", help="write per-point JSONL records here")
+    p.add_argument("--step-jsonl", help="write per-dispatch JSONL records here")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the sweep into DIR")
     return p
@@ -60,6 +61,7 @@ def args_to_config(args):
         "run.max_frames": args.max_frames, "run.seed": args.seed,
         "run.state_path": args.checkpoint, "run.out_csv": args.csv,
         "run.jsonl": args.jsonl,
+        "run.step_jsonl": args.step_jsonl,
     }
     for k, v in direct.items():
         if v is not None:
@@ -110,6 +112,7 @@ def main(argv=None):
         mesh=mesh,
         progress=True,
         state=state,
+        step_log=cfg.run.step_jsonl or None,
     )
     wall = time.time() - t0
     if profile_ctx is not None:

@@ -140,6 +140,7 @@ def run_ber_sharded(
     progress: bool = False,
     state=None,
     steps_per_call: int | None = None,
+    step_log: str | None = None,
 ):
     """Multi-device frame-error-targeted sweep (host loop of §3.3).
 
@@ -183,6 +184,10 @@ def run_ber_sharded(
             batch_ctr += steps_per_call
             if state is not None:
                 state.save_point(snr_idx, res, batch_ctr)
+            if step_log is not None and jax.process_index() == 0:
+                from tpu_ldpc.sim.mc import _log_step
+
+                _log_step(step_log, code, res, t0)
         res.wall_s += time.perf_counter() - t0
         res.bits = res.frames * code.k
         results.append(res)

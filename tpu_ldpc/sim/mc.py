@@ -74,6 +74,23 @@ class SnrResult:
         return self.iter_sum / max(self.frames, 1)
 
 
+def _log_step(path: str, code, res, t0: float) -> None:
+    import json
+
+    elapsed = time.perf_counter() - t0
+    rec = {
+        "ebn0_db": res.ebn0_db,
+        "frames": res.frames,
+        "bit_errors": res.bit_errors,
+        "frame_errors": res.frame_errors,
+        "mean_iters": res.mean_iters,
+        "wall_s": round(elapsed, 4),
+        "info_bits_per_s": round(res.frames * code.k / max(elapsed, 1e-9), 1),
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 def fold_key(base_seed: int, snr_idx: int, batch_ctr: int) -> jax.Array:
     key = jax.random.key(base_seed)
     key = jax.random.fold_in(key, snr_idx)
@@ -163,16 +180,22 @@ def run_ber(
     progress: bool = False,
     state=None,
     steps_per_call: int | None = None,
+    step_log: str | None = None,
 ) -> list[SnrResult]:
     """Frame-error-targeted Eb/N0 sweep.  Single-device unless `mesh`
-    is given (then the batch is sharded; see tpu_ldpc.dist)."""
+    is given (then the batch is sharded; see tpu_ldpc.dist).
+
+    step_log: path for per-dispatch JSONL observability records
+    (SURVEY.md §5: snr, cumulative frames/errors, mean iters, wall
+    time, decoded info bits/s).
+    """
     if mesh is not None:
         from tpu_ldpc.dist.mesh import run_ber_sharded
 
         return run_ber_sharded(
             code, ebn0_grid, cfg, batch, target_frame_errors, max_frames,
             seed, mesh, progress=progress, state=state,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, step_log=step_log,
         )
     if steps_per_call is None:
         steps_per_call = default_steps_per_call()
@@ -202,6 +225,8 @@ def run_ber(
             batch_ctr += steps_per_call
             if state is not None:
                 state.save_point(snr_idx, res, batch_ctr)
+            if step_log is not None:
+                _log_step(step_log, code, res, t0)
         res.wall_s += time.perf_counter() - t0
         res.bits = res.frames * code.k
         results.append(res)

@@ -142,3 +142,18 @@ def test_bf16_message_mode():
     b2, ok2, _ = map(np.asarray, bf16(llr))
     assert (b1 == b2).all(axis=1).mean() >= 0.97
     assert (ok1 == ok2).mean() >= 0.97
+
+
+def test_compressed_row_state_bitexact():
+    """Compressed per-row message state reconstructs R exactly."""
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 3.0, seed=41)
+    gb, gok, git = golden_decode(
+        code.H, llr, algo="minsum", iters=17, dtype=np.float32
+    )
+    fn = build_pallas_decoder(code, algo="minsum", iters=17,
+                              interpret=True, compressed=True)
+    pb, pok, pit = map(np.asarray, fn(llr))
+    assert (pb == gb).all()
+    assert (pok == gok).all()
+    assert (pit == git).all()

@@ -167,6 +167,7 @@ def build_pallas_decoder(
     interpret: bool | None = None,
     dtype=jnp.float32,
     msg_dtype=None,
+    compressed: bool = False,
 ):
     """Build a jitted Pallas decoder: llr (batch, n) -> (bits, ok, iters_used).
 
@@ -210,6 +211,18 @@ def build_pallas_decoder(
     if msg_dtype is None:
         msg_dtype = dtype
     quantized = msg_dtype != dtype
+    if compressed:
+        # compressed row state replaces per-edge R entirely
+        if algo != "minsum" or schedule != "flooding" or quantized:
+            raise NotImplementedError(
+                "compressed row state: minsum + flooding + f32 only"
+            )
+        if lay.max_row_deg > 8:
+            raise NotImplementedError(
+                "compressed row state packs signs into int8: row degree <= 8"
+            )
+    # slot index of each edge within its row (for compressed reconstruction)
+    eslot = [e - int(lay.row_ptr[lay.edge_row[e]]) for e in range(E)]
 
     def load_R(R_scr, e):
         r = R_scr[e]
@@ -365,6 +378,169 @@ def build_pallas_decoder(
             else:
                 bits_ref[j] = hard
 
+    def kernel_compressed(L_ref, bits_ref, ok_ref, iu_ref,
+                          P_scr, M1, M2, ARG, SGN):
+        """Flooding min-sum with compressed per-row message state.
+
+        Instead of E per-edge CN->VN messages, each block-row stores
+        (min1', min2', argmin slot, packed output-sign byte) — the
+        complete description of its extrinsic outputs (the classic
+        hardware compression).  R_e is reconstructed exactly:
+            mag  = argmin==slot ? min2' : min1'
+            sign = (signs >> slot) & 1
+        so the decode stays bit-exact vs the golden model while message
+        VMEM traffic drops ~3x.  Requires row degree <= 8 (int8 signs).
+        """
+        for j in range(nb):
+            P_scr[j] = L_ref[j]
+        zf = jnp.zeros((Z, batch_tile), dtype)
+        zb = jnp.zeros((Z, batch_tile), jnp.int8)
+        for i in range(mb):
+            M1[i] = zf
+            M2[i] = zf
+            ARG[i] = zb
+            SGN[i] = zb
+        ok_ref[...] = jnp.zeros((1, batch_tile), jnp.int32)
+        iu_ref[...] = jnp.full((1, batch_tile), iters, jnp.int32)
+
+        def reconstruct(i, slot):
+            # int8 only at the VMEM boundary: int32 compute avoids
+            # mask-layout mismatches between (8,128) f32 and (32,128)
+            # int8 tilings in Mosaic
+            arg = ARG[i].astype(jnp.int32)
+            sgn = SGN[i].astype(jnp.int32)
+            mag = jnp.where(arg == slot, M2[i], M1[i])
+            bit = (sgn >> slot) & 1
+            return _f32(_i32(mag) | (bit << 31))
+
+        def cn_pass():
+            viols = []
+            for i in range(mb):
+                es = row_edges[i]
+                d = len(es)
+                ts = [
+                    _roll_to_check(P_scr[ecol[e]], eshift[e], Z) for e in es
+                ]
+                if early_stop:
+                    par = _xor_tree([_i32(t) & SIGN_MASK for t in ts])
+                    viols.append(
+                        jnp.sum((par != 0).astype(jnp.int32), axis=0,
+                                keepdims=True)
+                    )
+                qs = [
+                    t - reconstruct(i, eslot[e]) for t, e in zip(ts, es)
+                ]
+                mags = [jnp.abs(q) for q in qs]
+                sbits = [_i32(q) & SIGN_MASK for q in qs]
+                # sequential two-min scan (first-occurrence argmin):
+                # identical tie semantics to the golden model
+                min1 = mags[0]
+                min2 = jnp.full_like(min1, jnp.inf)
+                argm = jnp.zeros((Z, batch_tile), jnp.int32)
+                for t_ in range(1, d):
+                    new = mags[t_] < min1
+                    min2 = jnp.where(new, min1, jnp.minimum(min2, mags[t_]))
+                    argm = jnp.where(new, t_, argm)
+                    min1 = jnp.where(new, mags[t_], min1)
+                if d == 1:
+                    min2 = min1
+                total = _xor_tree(sbits)
+                if f_beta != 0.0:
+                    min1 = jnp.maximum(min1 - f_beta, 0.0)
+                    min2 = jnp.maximum(min2 - f_beta, 0.0)
+                if f_alpha != 1.0:
+                    min1 = min1 * f_alpha
+                    min2 = min2 * f_alpha
+                byte = None
+                for t_, sb in enumerate(sbits):
+                    bit = jax.lax.shift_right_logical(total ^ sb, 31)
+                    contrib = bit << t_
+                    byte = contrib if byte is None else byte | contrib
+                M1[i] = min1
+                M2[i] = min2
+                ARG[i] = argm
+                SGN[i] = byte.astype(jnp.int8)
+            if not early_stop:
+                return None
+            viol = viols[0]
+            for v in viols[1:]:
+                viol = viol + v
+            return viol
+
+        def vn_pass():
+            for j in range(nb):
+                p = L_ref[j]
+                for e in col_edges[j]:
+                    i = int(lay.edge_row[e])
+                    p = p + _roll_to_var(
+                        reconstruct(i, eslot[e]), eshift[e], Z
+                    )
+                P_scr[j] = p
+
+        def latch(viol, it_minus_1):
+            ok_now = (viol == 0).astype(jnp.int32)
+            newly = ok_now * (1 - ok_ref[...])
+            keep = newly[0, :] == 1
+            for j in range(nb):
+                hard = (P_scr[j] < 0).astype(jnp.int8)
+                bits_ref[j] = jnp.where(keep, hard, bits_ref[j])
+            iu_ref[...] = jnp.where(
+                newly == 1, it_minus_1, iu_ref[...]
+            ).astype(jnp.int32)
+            ok_ref[...] = jnp.maximum(ok_ref[...], ok_now)
+
+        def body(it, _):
+            viol = cn_pass()
+            if early_stop:
+                latch(viol, it - 1)
+            vn_pass()
+            return 0
+
+        g = max(1, exit_block)
+        n_blocks, rem = divmod(iters, g)
+
+        def block(b, _):
+            done = ok_ref[0, :]
+
+            @pl.when(jnp.sum(done) < batch_tile)
+            def _():
+                jax.lax.fori_loop(b * g + 1, b * g + g + 1, body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, block, 0)
+        if rem:
+            jax.lax.fori_loop(n_blocks * g + 1, iters + 1, body, 0)
+
+        viol = syndrome_violations(P_scr)
+        if early_stop:
+            latch(viol, iters)
+        else:
+            ok_ref[...] = (viol == 0).astype(jnp.int32)
+        done = ok_ref[0, :]
+        for j in range(nb):
+            hard = (P_scr[j] < 0).astype(jnp.int8)
+            if early_stop:
+                bits_ref[j] = jnp.where(done == 1, bits_ref[j], hard)
+            else:
+                bits_ref[j] = hard
+
+    if compressed:
+        chosen_kernel = kernel_compressed
+        scratches = [
+            pltpu.VMEM((nb, Z, batch_tile), dtype),
+            pltpu.VMEM((mb, Z, batch_tile), dtype),
+            pltpu.VMEM((mb, Z, batch_tile), dtype),
+            pltpu.VMEM((mb, Z, batch_tile), jnp.int8),
+            pltpu.VMEM((mb, Z, batch_tile), jnp.int8),
+        ]
+    else:
+        chosen_kernel = kernel
+        scratches = [
+            pltpu.VMEM((nb, Z, batch_tile), dtype),
+            pltpu.VMEM((E, Z, batch_tile), msg_dtype),
+        ]
+
     @jax.jit
     def decode_fn(llr):
         batch = llr.shape[0]
@@ -379,7 +555,7 @@ def build_pallas_decoder(
         num_tiles = padded // batch_tile
 
         bits, ok, iu = pl.pallas_call(
-            kernel,
+            chosen_kernel,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(
@@ -404,10 +580,7 @@ def build_pallas_decoder(
                 jax.ShapeDtypeStruct((1, padded), jnp.int32),
                 jax.ShapeDtypeStruct((1, padded), jnp.int32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((nb, Z, batch_tile), dtype),
-                pltpu.VMEM((E, Z, batch_tile), msg_dtype),
-            ],
+            scratch_shapes=scratches,
             interpret=interpret,
         )(x)
 

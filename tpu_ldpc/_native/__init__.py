@@ -59,6 +59,8 @@ def _load():
     lib.qc_count_4cycles.restype = ctypes.c_longlong
     lib.qc_count_6cycles.argtypes = [i64p, ip, ip, ip]
     lib.qc_count_6cycles.restype = ctypes.c_longlong
+    lib.qc_ace6_cost.argtypes = [i64p, ip, ip, ip, i64p]
+    lib.qc_ace6_cost.restype = ctypes.c_double
     lib.gf2_rank.argtypes = [i8p, ip, ip]
     lib.gf2_rank.restype = ip
     lib.gf2_row_reduce.argtypes = [i8p, ip, ip, i8p]
@@ -91,6 +93,12 @@ def count_4cycles(B: np.ndarray, Z: int) -> int:
 def count_6cycles(B: np.ndarray, Z: int) -> int:
     B = np.ascontiguousarray(B, dtype=np.int64)
     return int(lib.qc_count_6cycles(B, B.shape[0], B.shape[1], Z))
+
+
+def ace6_cost(B: np.ndarray, Z: int) -> float:
+    B = np.ascontiguousarray(B, dtype=np.int64)
+    colw = np.ascontiguousarray((B >= 0).sum(axis=0), dtype=np.int64)
+    return float(lib.qc_ace6_cost(B, B.shape[0], B.shape[1], Z, colw))
 
 
 def gf2_rank(M: np.ndarray) -> int:

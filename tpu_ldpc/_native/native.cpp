@@ -40,6 +40,47 @@ long long qc_count_4cycles(const long long* B, int mb, int nb, int Z) {
     return count;
 }
 
+// ACE-weighted 6-cycle cost: each zero-shift-sum 6-cycle through columns
+// (j1, j2, j3) contributes 2^-(d_j1 + d_j2 + d_j3 - 6), so cycles confined
+// to low-degree variable nodes (low ACE — the harmful ones for error
+// floors, Tian et al.) dominate the cost while cycles passing through
+// high-degree nodes are nearly free.  colw = column weights (length nb).
+double qc_ace6_cost(const long long* B, int mb, int nb, int Z,
+                    const long long* colw) {
+    double raw = 0.0;
+    for (int i1 = 0; i1 < mb; ++i1) {
+        const long long* r1 = B + (size_t)i1 * nb;
+        for (int j1 = 0; j1 < nb; ++j1) {
+            if (r1[j1] < 0) continue;
+            for (int j2 = 0; j2 < nb; ++j2) {
+                if (j2 == j1 || r1[j2] < 0) continue;
+                for (int i2 = i1 + 1; i2 < mb; ++i2) {
+                    const long long* r2 = B + (size_t)i2 * nb;
+                    if (r2[j2] < 0) continue;
+                    for (int j3 = 0; j3 < nb; ++j3) {
+                        if (j3 == j1 || j3 == j2 || r2[j3] < 0) continue;
+                        for (int i3 = 0; i3 < mb; ++i3) {
+                            if (i3 == i1 || i3 == i2) continue;
+                            const long long* r3 = B + (size_t)i3 * nb;
+                            if (r3[j3] < 0 || r3[j1] < 0) continue;
+                            long long s = (r1[j1] - r1[j2] + r2[j2] - r2[j3]
+                                           + r3[j3] - r3[j1]) % Z;
+                            if (s < 0) s += Z;
+                            if (s == 0) {
+                                long long ace = colw[j1] + colw[j2]
+                                                + colw[j3] - 6;
+                                if (ace > 40) ace = 40;
+                                raw += std::ldexp(1.0, (int)-ace);
+                            }
+                        }
+                    }
+                }
+            }
+        }
+    }
+    return raw * 0.5;
+}
+
 long long qc_count_6cycles(const long long* B, int mb, int nb, int Z) {
     // Mirrors base_graphs.count_6cycles: enumerate
     // (i1,j1)-(i1,j2)-(i2,j2)-(i2,j3)-(i3,j3)-(i3,j1) with i1 the

@@ -13,11 +13,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpu_ldpc.codes.base_graphs import count_4cycles, count_6cycles
+from tpu_ldpc.codes.base_graphs import ace6_cost, count_4cycles, count_6cycles
 
 
-def _cost(B, Z, w4, w6):
-    return w4 * count_4cycles(B, Z) + w6 * count_6cycles(B, Z)
+def _cost(B, Z, w4, w6, ace=False):
+    c6 = ace6_cost(B, Z) if ace else count_6cycles(B, Z)
+    return w4 * count_4cycles(B, Z) + w6 * c6
 
 
 def anneal_shifts(
@@ -30,12 +31,15 @@ def anneal_shifts(
     t0: float = 5.0,
     t1: float = 0.01,
     frozen_cols: list[int] | None = None,
+    ace: bool = False,
 ):
     """Refine shifts by simulated annealing.
 
     Args:
       frozen_cols: columns whose entries must not change; defaults to the
         parity part (the last mb columns).
+      ace: weight 6-cycles by 2^-ACE (cycles through low-degree columns
+        dominate) instead of counting them uniformly.
     Returns:
       (B_optimized, stats dict)
     """
@@ -51,9 +55,9 @@ def anneal_shifts(
         if B[i, j] >= 0 and j not in frozen
     ]
     if not sites:
-        return B, {"steps": 0, "cost": _cost(B, Z, w4, w6)}
+        return B, {"steps": 0, "cost": _cost(B, Z, w4, w6, ace)}
     rng = np.random.default_rng(seed)
-    cost = _cost(B, Z, w4, w6)
+    cost = _cost(B, Z, w4, w6, ace)
     best, best_cost = B.copy(), cost
     accepted = 0
     for step in range(steps):
@@ -64,7 +68,7 @@ def anneal_shifts(
         if new == old:
             continue
         B[i, j] = new
-        c = _cost(B, Z, w4, w6)
+        c = _cost(B, Z, w4, w6, ace)
         if c <= cost or rng.random() < np.exp((cost - c) / temp):
             cost = c
             accepted += 1

@@ -103,6 +103,52 @@ def _count_6cycles_py(B: np.ndarray, Z: int) -> int:
     return raw // 2
 
 
+def ace6_cost(B: np.ndarray, Z: int) -> float:
+    """ACE-weighted 6-cycle cost: cycles through low-degree variable
+    nodes (low ACE) count ~1, cycles through high-degree nodes are
+    nearly free (weight 2^-(sum col degrees - 6) per cycle)."""
+    from tpu_ldpc import _native
+
+    if _native.lib is not None:
+        return _native.ace6_cost(np.asarray(B), Z)
+    return _ace6_cost_py(B, Z)
+
+
+def _ace6_cost_py(B: np.ndarray, Z: int) -> float:
+    mb, nb = B.shape
+    by_row, _ = _entries(B)
+    colw = (np.asarray(B) >= 0).sum(axis=0)
+    raw = 0.0
+    for i1 in range(mb):
+        for j1 in by_row[i1]:
+            for j2 in by_row[i1]:
+                if j2 == j1:
+                    continue
+                for i2 in range(mb):
+                    if i2 <= i1 or B[i2, j2] < 0:
+                        continue
+                    for j3 in by_row[i2]:
+                        if j3 == j1 or j3 == j2:
+                            continue
+                        for i3 in range(mb):
+                            if i3 == i1 or i3 == i2:
+                                continue
+                            if B[i3, j3] < 0 or B[i3, j1] < 0:
+                                continue
+                            s = (
+                                B[i1, j1] - B[i1, j2]
+                                + B[i2, j2] - B[i2, j3]
+                                + B[i3, j3] - B[i3, j1]
+                            ) % Z
+                            if s == 0:
+                                ace = min(
+                                    int(colw[j1] + colw[j2] + colw[j3]) - 6,
+                                    40,
+                                )
+                                raw += 2.0 ** (-ace)
+    return raw / 2.0
+
+
 def girth_lower_bound(B: np.ndarray, Z: int) -> int:
     """Girth from 4-/6-cycle checks: 4, 6, or 8 (8 == 'at least 8')."""
     if count_4cycles(B, Z) > 0:
@@ -284,6 +330,30 @@ def make_base_graph(
     return select_shifts(mask, Z, seed=seed, fixed=fixed)
 
 
+def build_from_mask(mask: np.ndarray, Z: int, seed: int = 0) -> np.ndarray:
+    """Assign girth-aware shifts to an externally optimized mask (e.g.
+    from codes.pexit.search_mask).  The mask's parity part must carry the
+    canonical structure (weight-3 closing column + dual diagonal); its
+    shifts are pinned to the encodable pattern, everything else is
+    selected greedily 4-cycle-free.
+    """
+    mask = np.asarray(mask, dtype=bool)
+    mb, nb = mask.shape
+    kb = nb - mb
+    from tpu_ldpc.codes.pexit import parity_mask
+
+    pm, _ = parity_mask(mb, nb)
+    if not np.array_equal(mask[:, kb:], pm[:, kb:]):
+        raise ValueError("mask parity part is not the canonical structure")
+    fixed: dict[tuple[int, int], int] = {}
+    for r, s in zip((0, mb // 2, mb - 1), (1, 0, 1)):
+        fixed[(r, kb)] = s
+    for t in range(1, mb):
+        fixed[(t - 1, kb + t)] = 0
+        fixed[(t, kb + t)] = 0
+    return select_shifts(mask, Z, seed=seed, fixed=fixed)
+
+
 # rate name -> (mb, nb) protograph shape, 802.11n-style nb=24 templates
 _RATE_SHAPES = {
     "1/2": (12, 24),
@@ -329,18 +399,50 @@ def family_base_graph(family: str, rate: str, Z: int) -> np.ndarray:
     return generate_family_cell(family, rate, Z, seed)
 
 
+@functools.lru_cache(maxsize=None)
+def _load_profiles() -> dict:
+    """PEXIT-optimized degree profiles (codes/pexit.py search output):
+    per rate, masks ranked by ensemble BP threshold."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "profiles.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def generate_family_cell(family: str, rate: str, Z: int, seed: int) -> np.ndarray:
     """Construct + girth-anneal one family cell (what produced the
-    committed data tables; kept for reproducibility and custom cells)."""
-    mb, nb = _RATE_SHAPES[rate]
-    # heavier info columns (weight 4) where the base is tall enough —
-    # measurably fewer low-weight codewords / undetected errors; shallow
-    # (mb <= 4, rate 5/6) bases stay at weight 3 or 4-cycle freedom
-    # becomes unreachable at small Z
-    B = make_base_graph(mb, nb, Z, seed=seed,
-                        info_weight=4 if mb >= 6 else 3)
+    committed data tables; kept for reproducibility and custom cells).
+
+    Two-level optimization: the ensemble degree profile comes from the
+    committed PEXIT mask registry (threshold-optimized; see
+    codes/pexit.py and data/profiles.json), then circulant shifts are
+    selected greedily 4-cycle-free and annealed on an ACE-weighted
+    6-cycle cost.  Masks are tried in threshold rank order; a cell
+    accepts the first mask that reaches girth >= 6 at its lift size
+    (dense high-degree columns can be unliftable 4-cycle-free at small
+    Z).  Falls back to the legacy profile when no registry exists.
+    """
     from tpu_ldpc.codes.anneal import anneal_shifts
 
+    mb, nb = _RATE_SHAPES[rate]
+    prof = _load_profiles().get(rate)
+    if prof:
+        masks = list(prof["masks"])
+        if family != "wifi" and len(masks) > 1:
+            # keep families distinct: non-wifi prefers the runner-up mask
+            masks = masks[1:] + masks[:1]
+        for mask in masks:
+            B = build_from_mask(np.asarray(mask, bool), Z, seed=seed)
+            B, stats = anneal_shifts(B, Z, steps=15000, seed=seed,
+                                     w4=1e6, ace=True)
+            if stats["c4"] == 0:
+                return B
+    B = make_base_graph(mb, nb, Z, seed=seed,
+                        info_weight=4 if mb >= 6 else 3)
     B, _stats = anneal_shifts(B, Z, steps=2000, seed=seed)
     return B
 

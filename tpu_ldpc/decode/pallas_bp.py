@@ -341,23 +341,27 @@ def build_pallas_decoder(
             return 0
 
         # all-done early exit at exit_block granularity: scalar reads of
-        # the done mask stall the vector pipeline, so guard per block
-        # (with early_stop off the mask stays zero and the guard is free)
-        g = max(1, exit_block)
-        n_blocks, rem = divmod(iters, g)
+        # the done mask stall the vector pipeline, so guard per block.
+        # With early_stop off the mask never sets — skip the guard (and
+        # its scalar reductions) entirely and run one flat loop.
+        if not early_stop:
+            jax.lax.fori_loop(1, iters + 1, body, 0)
+        else:
+            g = max(1, exit_block)
+            n_blocks, rem = divmod(iters, g)
 
-        def block(b, _):
-            done = ok_ref[0, :]
+            def block(b, _):
+                done = ok_ref[0, :]
 
-            @pl.when(jnp.sum(done) < batch_tile)
-            def _():
-                jax.lax.fori_loop(b * g + 1, b * g + g + 1, body, 0)
+                @pl.when(jnp.sum(done) < batch_tile)
+                def _():
+                    jax.lax.fori_loop(b * g + 1, b * g + g + 1, body, 0)
 
-            return 0
+                return 0
 
-        jax.lax.fori_loop(0, n_blocks, block, 0)
-        if rem:
-            jax.lax.fori_loop(n_blocks * g + 1, iters + 1, body, 0)
+            jax.lax.fori_loop(0, n_blocks, block, 0)
+            if rem:
+                jax.lax.fori_loop(n_blocks * g + 1, iters + 1, body, 0)
 
         if schedule == "flooding":
             # final posterior still needs one standalone syndrome check
@@ -496,21 +500,24 @@ def build_pallas_decoder(
             vn_pass()
             return 0
 
-        g = max(1, exit_block)
-        n_blocks, rem = divmod(iters, g)
+        if not early_stop:
+            jax.lax.fori_loop(1, iters + 1, body, 0)
+        else:
+            g = max(1, exit_block)
+            n_blocks, rem = divmod(iters, g)
 
-        def block(b, _):
-            done = ok_ref[0, :]
+            def block(b, _):
+                done = ok_ref[0, :]
 
-            @pl.when(jnp.sum(done) < batch_tile)
-            def _():
-                jax.lax.fori_loop(b * g + 1, b * g + g + 1, body, 0)
+                @pl.when(jnp.sum(done) < batch_tile)
+                def _():
+                    jax.lax.fori_loop(b * g + 1, b * g + g + 1, body, 0)
 
-            return 0
+                return 0
 
-        jax.lax.fori_loop(0, n_blocks, block, 0)
-        if rem:
-            jax.lax.fori_loop(n_blocks * g + 1, iters + 1, body, 0)
+            jax.lax.fori_loop(0, n_blocks, block, 0)
+            if rem:
+                jax.lax.fori_loop(n_blocks * g + 1, iters + 1, body, 0)
 
         viol = syndrome_violations(P_scr)
         if early_stop:

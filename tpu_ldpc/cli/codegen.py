@@ -22,6 +22,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--anneal", type=int, default=0, metavar="STEPS",
                    help="simulated-annealing shift refinement steps")
+    p.add_argument("--ace", action="store_true",
+                   help="ACE-weighted 6-cycle cost during --anneal")
+    p.add_argument("--pexit", type=int, default=0, metavar="STEPS",
+                   help="custom: threshold-optimize the degree profile "
+                        "by PEXIT mask search before picking shifts")
+    p.add_argument("--threshold", action="store_true",
+                   help="report the PEXIT BP-threshold estimate")
     p.add_argument("--out", help="write QC shift table here")
     p.add_argument("--alist", help="write alist here")
     args = p.parse_args(argv)
@@ -32,9 +39,19 @@ def main(argv=None):
     if args.family == "judged":
         code = LdpcCode.judged()
     elif args.family == "custom":
-        from tpu_ldpc.codes import make_base_graph
+        if args.pexit:
+            from tpu_ldpc.codes.base_graphs import build_from_mask
+            from tpu_ldpc.codes.pexit import search_mask
 
-        B = make_base_graph(args.mb, args.nb, args.z, seed=args.seed)
+            mask, st = search_mask(args.mb, args.nb, seed=args.seed,
+                                   steps=args.pexit)
+            print(f"pexit search: threshold {st['threshold_db']:.2f} dB, "
+                  f"edges {st['edges']}, col weights {st['col_weights']}")
+            B = build_from_mask(mask, args.z, seed=args.seed)
+        else:
+            from tpu_ldpc.codes import make_base_graph
+
+            B = make_base_graph(args.mb, args.nb, args.z, seed=args.seed)
         code = LdpcCode.from_base_graph(B, args.z, name="custom")
     else:
         code = LdpcCode.from_family(args.family, args.rate, args.z)
@@ -43,9 +60,17 @@ def main(argv=None):
         from tpu_ldpc.codes.anneal import anneal_shifts
 
         B2, stats = anneal_shifts(code.B, code.Z, steps=args.anneal,
-                                  seed=args.seed)
+                                  seed=args.seed, ace=args.ace,
+                                  w4=1e6 if args.ace else 1000.0)
         code = LdpcCode.from_base_graph(B2, code.Z, name=code.name + "_sa")
         print(f"annealed: {stats}")
+
+    if args.threshold:
+        from tpu_ldpc.codes.pexit import pexit_threshold
+
+        th = pexit_threshold(np.asarray(code.B) >= 0, step=0.02)
+        print(f"PEXIT BP-threshold estimate: {th:.2f} dB "
+              f"(Shannon limit for R={code.rate:.3f} BPSK-AWGN applies)")
 
     from tpu_ldpc.golden import gf2_rank
 

@@ -413,25 +413,34 @@ def _load_profiles() -> dict:
         return json.load(f)
 
 
-def generate_family_cell(family: str, rate: str, Z: int, seed: int) -> np.ndarray:
+def generate_family_cell(
+    family: str, rate: str, Z: int, seed: int, profile: str = "legacy"
+) -> np.ndarray:
     """Construct + girth-anneal one family cell (what produced the
     committed data tables; kept for reproducibility and custom cells).
 
-    Two-level optimization: the ensemble degree profile comes from the
-    committed PEXIT mask registry (threshold-optimized; see
-    codes/pexit.py and data/profiles.json), then circulant shifts are
-    selected greedily 4-cycle-free and annealed on an ACE-weighted
-    6-cycle cost.  Masks are tried in threshold rank order; a cell
-    accepts the first mask that reaches girth >= 6 at its lift size
-    (dense high-degree columns can be unliftable 4-cycle-free at small
-    Z).  Falls back to the legacy profile when no registry exists.
+    profile:
+      'legacy' (default) — heavy columns + weight-4 info columns.
+        Measured best at these blocklengths (n ~ 1-2.3k): CPU A/B FER
+        runs (2026-08-18, paired seeds, native min-sum 50 it) put the
+        committed wifi_r12_z81 table at 4.5e-4 @ 2.0 dB vs 6.4e-3 for
+        the PEXIT-threshold-optimized profile below — the better
+        ensemble threshold (0.48 vs 0.82 dB) came entirely from
+        weight-3 info columns, which flatten the finite-length curve.
+        Constrained search (col weight >= 4) recovers only 0.85 dB,
+        i.e. the legacy profile is already ensemble-near-optimal under
+        the constraint that measures well.
+      'pexit' — degree profile from the committed PEXIT mask registry
+        (codes/pexit.py search output, data/profiles.json), masks tried
+        in threshold rank order subject to 4-cycle-free liftability.
+        Better asymptotically; use for large Z / long blocklengths.
     """
     from tpu_ldpc.codes.anneal import anneal_shifts
 
     mb, nb = _RATE_SHAPES[rate]
-    prof = _load_profiles().get(rate)
-    if prof:
-        masks = list(prof["masks"])
+    if profile == "pexit":
+        prof = _load_profiles().get(rate)
+        masks = list(prof["masks"]) if prof else []
         if family != "wifi" and len(masks) > 1:
             # keep families distinct: non-wifi prefers the runner-up mask
             masks = masks[1:] + masks[:1]
@@ -441,6 +450,7 @@ def generate_family_cell(family: str, rate: str, Z: int, seed: int) -> np.ndarra
                                      w4=1e6, ace=True)
             if stats["c4"] == 0:
                 return B
+        # no registry / nothing liftable: fall through to legacy
     B = make_base_graph(mb, nb, Z, seed=seed,
                         info_weight=4 if mb >= 6 else 3)
     B, _stats = anneal_shifts(B, Z, steps=2000, seed=seed)

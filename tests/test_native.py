@@ -98,3 +98,25 @@ def test_native_minsum_decoder_bitexact():
                                         early_stop=False)
     assert (gb == nb_).all()
     assert (gok == nok).all()
+
+
+def test_native_minsum_graph_cache_not_poisoned_by_id_reuse():
+    """Regression: the graph cache was keyed by bare id(H); once an H was
+    garbage-collected, a *different* matrix allocated at the recycled id
+    silently decoded against the stale graph.  The cache entry must pin
+    its H.  Build many short-lived codes in a loop (forcing id reuse) and
+    check each decode against the golden model."""
+    from tpu_ldpc.golden import decode as golden_decode
+
+    rng = np.random.default_rng(3)
+    for seed in range(6):
+        code = LdpcCode.from_base_graph(
+            make_base_graph(4, 8, 8, seed=seed), 8, name=f"c{seed}"
+        )
+        llr = rng.normal(scale=4.0, size=(16, code.n)).astype(np.float32)
+        gb, gok, git = golden_decode(
+            code.H, llr, algo="minsum", iters=10, dtype=np.float32
+        )
+        nb_, nok, nit = _native.minsum_decode(code.H, llr, iters=10)
+        assert (gb == nb_).all() and (gok == nok).all() and (git == nit).all()
+        del code  # drop the only strong ref outside the cache

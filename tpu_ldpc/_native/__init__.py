@@ -131,6 +131,10 @@ def minsum_decode(H, llr, iters=50, alpha=0.75, beta=0.0, early_stop=True,
     float32 model.  H: scipy sparse; llr: (batch, n) float32."""
     import scipy.sparse as sp
 
+    # Cache key is id(H); the entry HOLDS a reference to H so the id
+    # cannot be recycled by a different matrix while the entry lives.
+    # (Keying by bare id() of a dead object once served a *different*
+    # graph to a decode — silently wrong results.)
     key = id(H)
     g = _graph_cache.get(key)
     if g is None:
@@ -145,11 +149,11 @@ def minsum_decode(H, llr, iters=50, alpha=0.75, beta=0.0, early_stop=True,
         corder = np.argsort(ecol, kind="stable").astype(np.int32)
         col_ptr = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(np.bincount(ecol, minlength=n), out=col_ptr[1:])
-        g = (erow, ecol, row_ptr, corder, col_ptr, m, n, E)
+        g = (H, erow, ecol, row_ptr, corder, col_ptr, m, n, E)
         if len(_graph_cache) > 32:
             _graph_cache.clear()
         _graph_cache[key] = g
-    erow, ecol, row_ptr, col_edges, col_ptr, m, n, E = g
+    _, erow, ecol, row_ptr, col_edges, col_ptr, m, n, E = g
     llr = np.ascontiguousarray(llr, dtype=np.float32)
     batch = llr.shape[0]
     bits = np.zeros((batch, n), dtype=np.uint8)

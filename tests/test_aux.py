@@ -186,6 +186,20 @@ class TestCli:
         code = load_shift_table(out)
         assert code.n == 64
 
+    def test_codegen_cli_pexit_threshold(self, tmp_path, capsys):
+        from tpu_ldpc.cli.codegen import main
+
+        out = str(tmp_path / "p.qc")
+        main(["--family", "custom", "--mb", "3", "--nb", "6", "--z", "8",
+              "--pexit", "15", "--anneal", "50", "--ace", "--threshold",
+              "--out", out])
+        text = capsys.readouterr().out
+        assert "pexit search: threshold" in text
+        assert "PEXIT BP-threshold estimate" in text
+        from tpu_ldpc.codes.alist import load_shift_table
+
+        assert load_shift_table(out).n == 48
+
 
 class TestObservability:
     def test_step_jsonl_written(self, tmp_path):

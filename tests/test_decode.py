@@ -149,3 +149,36 @@ def test_minsum_fuzz_llrs_bitexact(data):
     assert (jb == gb).all()
     assert (jok == gok).all()
     assert (jit == git).all()
+
+
+def test_sumproduct_no_nans_on_extreme_llrs():
+    """SP's phi/atanh domain is clamped (SP_MIN_MAG..SP_MAX_MAG): the
+    sanitizer promise of SURVEY §5 — decode extreme inputs (huge
+    magnitudes, exact zeros, mixed) under jax_debug_nans and require
+    finite posteriors on every schedule."""
+    import jax
+
+    code = toy_code()
+    n = code.n
+    rows = [
+        np.full(n, 1e30, np.float32),
+        np.full(n, -1e30, np.float32),
+        np.zeros(n, np.float32),
+        np.asarray([(1e20 if i % 2 else -1e20) for i in range(n)], np.float32),
+        np.asarray([0.0 if i % 3 else 1e-30 for i in range(n)], np.float32),
+    ]
+    llr = np.stack(rows)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        for schedule in ("flooding", "layered"):
+            bits, ok, iu = map(
+                np.asarray,
+                jnp_decode(code, llr, algo="sumproduct", iters=8,
+                           schedule=schedule),
+            )
+            assert bits.shape == llr.shape
+            assert np.isfinite(iu).all()
+        gb, gok, _ = golden_decode(code.H, llr, algo="sumproduct", iters=8)
+        assert gb.shape == llr.shape
+    finally:
+        jax.config.update("jax_debug_nans", False)

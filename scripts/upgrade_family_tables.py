@@ -21,7 +21,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = os.environ.get("UPGRADE_WORKDIR", "/tmp")
 sys.path.insert(0, REPO)
 
-RATES = {"1/2": (12, 24), "2/3": (8, 24), "3/4": (6, 24), "5/6": (4, 24)}
+from tpu_ldpc.codes.base_graphs import (  # noqa: E402
+    FAMILY_LIFTS as LIFTS, _RATE_SHAPES as RATES, family_cell_seed,
+)
+
 GRID = {
     "1/2": dict(lo=0.2, hi=1.6, step=0.05, max_iters=300),
     "2/3": dict(lo=0.9, hi=2.2, step=0.05, max_iters=300),
@@ -30,7 +33,6 @@ GRID = {
 }
 SCAN_START = {"1/2": 1.25, "2/3": 1.75, "3/4": 2.25, "5/6": 2.75}
 RVAL = {"1/2": 0.5, "2/3": 2 / 3, "3/4": 0.75, "5/6": 5 / 6}
-LIFTS = {"wifi": (27, 54, 81), "wimax": (24, 48, 96)}
 
 
 def search_rate(rate):
@@ -108,9 +110,7 @@ def cell_job(arg):
     from tpu_ldpc.codes.code import LdpcCode
 
     tag = f"{family}_r{rate.replace('/','')}_z{Z}"
-    seed = (sum(ord(c) * 131 ** p
-                for p, c in enumerate(family + "/" + rate))
-            + 7919 * Z) & 0x7FFFFFFF
+    seed = family_cell_seed(family, rate, Z)
     old = np.asarray(family_base_graph(family, rate, Z))
     Hold = expand(old, Z)
     p1, p2 = pick_points(Hold, rate)

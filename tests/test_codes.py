@@ -116,3 +116,19 @@ class TestMakeBaseGraph:
         nz = np.nonzero(col >= 0)[0]
         assert list(nz) == [0, 3, 5]
         assert col[0] == 1 and col[3] == 0 and col[5] == 1
+
+
+def test_6cycle_count_exact_on_k33():
+    """Regression: the enumeration constrained only i1 < i2 hit each
+    cycle three times (halved -> 1.5x overcount).  K3,3 (all-ones 3x3
+    base at Z=1) has exactly six 6-cycles; the ACE cost with all column
+    degrees 3 weights each by 2^-3."""
+    from tpu_ldpc.codes.base_graphs import (
+        _ace6_cost_py, _count_6cycles_py, ace6_cost, count_6cycles,
+    )
+
+    B = np.zeros((3, 3), dtype=np.int64)
+    assert count_6cycles(B, 1) == 6
+    assert _count_6cycles_py(B, 1) == 6
+    assert ace6_cost(B, 1) == 0.75
+    assert _ace6_cost_py(B, 1) == 0.75

@@ -46,7 +46,6 @@ def test_converges_monotone_in_snr():
     assert not ok[0] and ok[1] and ok[2]
 
 
-@pytest.mark.slow
 def test_search_improves_threshold():
     mb, nb = 6, 12
     mask0, _ = parity_mask(mb, nb)

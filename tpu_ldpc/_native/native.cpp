@@ -59,8 +59,8 @@ double qc_ace6_cost(const long long* B, int mb, int nb, int Z,
                     if (r2[j2] < 0) continue;
                     for (int j3 = 0; j3 < nb; ++j3) {
                         if (j3 == j1 || j3 == j2 || r2[j3] < 0) continue;
-                        for (int i3 = 0; i3 < mb; ++i3) {
-                            if (i3 == i1 || i3 == i2) continue;
+                        for (int i3 = i1 + 1; i3 < mb; ++i3) {
+                            if (i3 == i2) continue;
                             const long long* r3 = B + (size_t)i3 * nb;
                             if (r3[j3] < 0 || r3[j1] < 0) continue;
                             long long s = (r1[j1] - r1[j2] + r2[j2] - r2[j3]
@@ -84,8 +84,9 @@ double qc_ace6_cost(const long long* B, int mb, int nb, int Z,
 long long qc_count_6cycles(const long long* B, int mb, int nb, int Z) {
     // Mirrors base_graphs.count_6cycles: enumerate
     // (i1,j1)-(i1,j2)-(i2,j2)-(i2,j3)-(i3,j3)-(i3,j1) with i1 the
-    // smallest of {i1, i2}; each cycle hit twice (both directions),
-    // halve at the end.
+    // smallest of {i1, i2, i3}; each cycle is then hit exactly twice
+    // (once per direction), halve at the end.  (With i1 only smaller
+    // than i2 a cycle was hit three times -> 1.5x overcount.)
     long long raw = 0;
     for (int i1 = 0; i1 < mb; ++i1) {
         const long long* r1 = B + (size_t)i1 * nb;
@@ -98,8 +99,8 @@ long long qc_count_6cycles(const long long* B, int mb, int nb, int Z) {
                     if (r2[j2] < 0) continue;
                     for (int j3 = 0; j3 < nb; ++j3) {
                         if (j3 == j1 || j3 == j2 || r2[j3] < 0) continue;
-                        for (int i3 = 0; i3 < mb; ++i3) {
-                            if (i3 == i1 || i3 == i2) continue;
+                        for (int i3 = i1 + 1; i3 < mb; ++i3) {
+                            if (i3 == i2) continue;
                             const long long* r3 = B + (size_t)i3 * nb;
                             if (r3[j3] < 0 || r3[j1] < 0) continue;
                             long long s = (r1[j1] - r1[j2] + r2[j2] - r2[j3]

@@ -55,7 +55,12 @@ def anneal_shifts(
         if B[i, j] >= 0 and j not in frozen
     ]
     if not sites:
-        return B, {"steps": 0, "cost": _cost(B, Z, w4, w6, ace)}
+        return B, {
+            "steps": 0,
+            "cost": _cost(B, Z, w4, w6, ace),
+            "c4": count_4cycles(B, Z),
+            "c6": count_6cycles(B, Z),
+        }
     rng = np.random.default_rng(seed)
     cost = _cost(B, Z, w4, w6, ace)
     best, best_cost = B.copy(), cost

@@ -72,10 +72,9 @@ def _count_6cycles_py(B: np.ndarray, Z: int) -> int:
     mb, nb = B.shape
     by_row, _ = _entries(B)
     count = 0
-    # ordered rows i1 < i2, i3 arbitrary distinct to avoid double counting:
     # enumerate cycles as (i1,j1)-(i1,j2)-(i2,j2)-(i2,j3)-(i3,j3)-(i3,j1)
-    # with i1 the smallest row; each 6-cycle counted once per direction,
-    # so halve at the end.
+    # with i1 strictly the smallest row; each 6-cycle is then counted
+    # exactly once per direction, so halve at the end.
     raw = 0
     for i1 in range(mb):
         for j1 in by_row[i1]:
@@ -88,8 +87,8 @@ def _count_6cycles_py(B: np.ndarray, Z: int) -> int:
                     for j3 in by_row[i2]:
                         if j3 == j1 or j3 == j2:
                             continue
-                        for i3 in range(mb):
-                            if i3 == i1 or i3 == i2:
+                        for i3 in range(i1 + 1, mb):
+                            if i3 == i2:
                                 continue
                             if B[i3, j3] < 0 or B[i3, j1] < 0:
                                 continue
@@ -130,8 +129,8 @@ def _ace6_cost_py(B: np.ndarray, Z: int) -> float:
                     for j3 in by_row[i2]:
                         if j3 == j1 or j3 == j2:
                             continue
-                        for i3 in range(mb):
-                            if i3 == i1 or i3 == i2:
+                        for i3 in range(i1 + 1, mb):
+                            if i3 == i2:
                                 continue
                             if B[i3, j3] < 0 or B[i3, j1] < 0:
                                 continue
@@ -370,6 +369,16 @@ FAMILY_LIFTS = {
 }
 
 
+def family_cell_seed(family: str, rate: str, Z: int) -> int:
+    """Deterministic construction seed for a (family, rate, Z) cell —
+    stable across processes; shared by the registry and the offline
+    table-upgrade tooling (scripts/upgrade_family_tables.py)."""
+    return (
+        sum(ord(c) * 131 ** p for p, c in enumerate(family + "/" + rate))
+        + 7919 * Z
+    ) & 0x7FFFFFFF
+
+
 @functools.lru_cache(maxsize=None)
 def family_base_graph(family: str, rate: str, Z: int) -> np.ndarray:
     """Deterministic generated base graph for a (family, rate, Z) cell."""
@@ -381,11 +390,7 @@ def family_base_graph(family: str, rate: str, Z: int) -> np.ndarray:
         raise ValueError(
             f"family {family!r} supports Z in {FAMILY_LIFTS[family]}, got {Z}"
         )
-    mb, nb = _RATE_SHAPES[rate]
-    # stable across processes: derive seed from the strings deterministically
-    seed = (
-        sum(ord(c) * 131 ** p for p, c in enumerate(family + "/" + rate)) + 7919 * Z
-    ) & 0x7FFFFFFF
+    seed = family_cell_seed(family, rate, Z)
     import os
 
     data = os.path.join(

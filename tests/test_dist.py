@@ -219,3 +219,54 @@ class TestGridSharded:
         )
         for r in res:
             assert r.frame_errors >= 10 or r.frames >= 4096
+
+
+class TestRingDecoder:
+    """SURVEY §5 long-blocklength path: column-partitioned ring decoding
+    of a banded spatially-coupled code — two neighbor ppermutes per BP
+    iteration, message state fully sharded."""
+
+    def _sc_llrs(self, code, batch, ebn0, seed):
+        from tpu_ldpc.golden import encode as golden_encode
+
+        rng = np.random.default_rng(seed)
+        # all-zero codeword (SC encoder is out of prototype scope)
+        x = np.ones((batch, code.n))
+        sigma2 = 1.0 / (2 * code.rate * 10 ** (ebn0 / 10))
+        return ((2.0 / sigma2) * (x + np.sqrt(sigma2)
+                * rng.normal(size=x.shape))).astype(np.float32)
+
+    def test_ring_decode_matches_single_device(self):
+        from tpu_ldpc.codes.base_graphs import make_sc_base_graph
+        from tpu_ldpc.codes.code import LdpcCode
+        from tpu_ldpc.decode.reference import decode as jnp_decode
+        from tpu_ldpc.dist.ring import build_ring_decoder
+        from tpu_ldpc.golden import syndrome_ok
+
+        B = make_sc_base_graph(8, 8, seed=5)
+        code = LdpcCode.from_base_graph(B, 8, name="sc8")
+        ring_mesh = make_mesh(jax.devices()[:4], axis="code")
+        llr = self._sc_llrs(code, 24, 4.0, seed=33)
+        fn = build_ring_decoder(code, ring_mesh, iters=20)
+        rb, rok, rit = map(np.asarray, fn(llr))
+        jb, jok, jit_ = map(
+            np.asarray, jnp_decode(code, llr, algo="minsum", iters=20)
+        )
+        assert syndrome_ok(code.H, rb)[rok].all()
+        assert (rb == jb).all(axis=1).mean() >= 0.95
+        assert (rok == jok).mean() >= 0.95
+
+    def test_ring_rejects_nonbanded_and_indivisible(self):
+        import pytest
+
+        from tpu_ldpc.codes.base_graphs import make_sc_base_graph
+        from tpu_ldpc.codes.code import LdpcCode
+        from tpu_ldpc.dist.ring import build_ring_decoder
+
+        ring_mesh = make_mesh(jax.devices()[:4], axis="code")
+        with pytest.raises(ValueError):
+            build_ring_decoder(toy_code(), ring_mesh)  # not SC-shaped
+        B = make_sc_base_graph(6, 8, seed=1)  # L=6 not divisible by 4
+        sc6 = LdpcCode.from_base_graph(B, 8, name="sc6")
+        with pytest.raises(ValueError):
+            build_ring_decoder(sc6, ring_mesh)

@@ -369,6 +369,35 @@ FAMILY_LIFTS = {
 }
 
 
+def make_sc_base_graph(
+    L: int, Z: int, seed: int = 0, coupling_width: int = 2
+) -> np.ndarray:
+    """Spatially-coupled (convolutional) LDPC protograph: the
+    long-blocklength family behind the column-partitioned ring decoder
+    (SURVEY.md §5 long-context analog; dist/ring.py).
+
+    Edge-spreading of a (3,6)-regular ensemble over L positions with
+    memory `coupling_width`: position t contributes 2 block-columns
+    whose weight-3 support sits in block-rows {t, t+1, t+2} — a BANDED
+    base matrix (row i's support spans positions i-2..i only), which is
+    what makes neighbor-halo ring decoding exact.  mb = L + w rows,
+    nb = 2L cols, design rate -> 1/2 as L grows (termination loss at
+    the ends, as for all terminated SC-LDPC codes).
+
+    Shifts are chosen greedily 4-cycle-free (select_shifts).
+    """
+    w = coupling_width
+    if w != 2:
+        raise NotImplementedError("edge spreading implemented for w=2")
+    mb, nb = L + w, 2 * L
+    mask = np.zeros((mb, nb), dtype=bool)
+    for t in range(L):
+        for dj in (0, 1):
+            for k in range(w + 1):
+                mask[t + k, 2 * t + dj] = True
+    return select_shifts(mask, Z, seed=seed)
+
+
 def family_cell_seed(family: str, rate: str, Z: int) -> int:
     """Deterministic construction seed for a (family, rate, Z) cell —
     stable across processes; shared by the registry and the offline

@@ -64,3 +64,18 @@ def test_search_improves_threshold():
     assert (mask[:, :kb].sum(axis=0) >= 3).all()
     pm, _ = parity_mask(mb, nb)
     np.testing.assert_array_equal(mask[:, kb:], pm[:, kb:])
+
+
+def test_sc_ldpc_threshold_saturation():
+    """Spatial coupling improves the BP threshold below the uncoupled
+    (3,6) ensemble's 1.11 dB as the chain grows (the textbook
+    saturation effect; the rate also drifts toward 1/2 from below as
+    termination overhead amortizes)."""
+    from tpu_ldpc.codes.base_graphs import make_sc_base_graph
+
+    B = make_sc_base_graph(32, 16, seed=9)
+    th = pexit_threshold(B >= 0, step=0.05, lo=0.2, hi=1.6)
+    assert th < 1.0
+    B8 = make_sc_base_graph(8, 16, seed=9)
+    th8 = pexit_threshold(B8 >= 0, step=0.05, lo=0.2, hi=1.6)
+    assert th < th8  # longer chain -> better threshold

@@ -8,6 +8,7 @@ from tpu_ldpc.codes.base_graphs import (  # noqa: F401
     girth_lower_bound,
     judged_base_graph,
     make_base_graph,
+    make_sc_base_graph,
     select_shifts,
 )
 from tpu_ldpc.codes.code import LdpcCode  # noqa: F401

@@ -36,3 +36,32 @@ def test_encode_all_zero_and_all_one():
     o = np.ones((1, code.k), dtype=np.uint8)
     c = np.asarray(encode(code, o))
     assert syndrome_ok(code.H, c).all()
+
+
+def test_pivot_encoder_rank_deficient_sc_code():
+    """The pivot path encodes arbitrary H — here a terminated SC-LDPC
+    chain whose H is rank-deficient (true dimension exceeds design k)
+    and whose trailing parity block is not invertible, so both other
+    paths are unavailable."""
+    import scipy.sparse as sp
+
+    from tpu_ldpc.codes import LdpcCode, make_sc_base_graph
+    from tpu_ldpc.encode.encoder import build_encoder
+    from tpu_ldpc.golden import gf2_rank
+
+    B = make_sc_base_graph(8, 8, seed=5)
+    code = LdpcCode.from_base_graph(B, 8, name="sc8e")
+    Hd = np.asarray(sp.csr_matrix(code.H).todense()) % 2
+    rank = gf2_rank(Hd)
+    assert rank < code.m  # genuinely rank-deficient
+
+    enc = build_encoder(code, "pivot")
+    assert enc.k == code.n - rank > code.k
+    rng = np.random.default_rng(4)
+    u = rng.integers(0, 2, (16, enc.k)).astype(np.uint8)
+    c = np.asarray(enc(u))
+    assert c.shape == (16, code.n)
+    assert ((Hd @ c.T) % 2 == 0).all()          # valid codewords
+    assert (c[:, enc.info_cols] == u).all()      # systematic in info set
+    # distinct info words -> distinct codewords (injective encoding)
+    assert len({bytes(row) for row in c}) == len(c)

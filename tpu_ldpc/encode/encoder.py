@@ -10,7 +10,14 @@
     diagonal): summing all block-rows cancels the dual diagonal and the
     two P^s terms, giving p0 = sum_i A_i u, then p_{i+1} back-substitutes.
 
-Both paths are jit-compiled and verified equal to the golden encoder.
+(c) `pivot`: general path for arbitrary H — including rank-deficient
+    matrices (terminated SC-LDPC chains, imported alist codes) where
+    the trailing parity block is not invertible: RREF over GF(2) picks
+    a pivot/information-set split, pivot bits solved by one MXU matmul.
+    `encode_fn.k` is the TRUE dimension n - rank(H) (>= design k);
+    `encode_fn.info_cols` maps info bits to codeword positions.
+
+All paths are jit-compiled and verified equal to the golden encoder.
 """
 
 from __future__ import annotations
@@ -37,6 +44,47 @@ def build_encoder(code: LdpcCode, method: str = "generator"):
             p = jnp.mod(p, 2.0).astype(jnp.uint8)
             return jnp.concatenate([u.astype(jnp.uint8), p], axis=1)
 
+        return encode_fn
+
+    if method == "pivot":
+        # General path for ARBITRARY H (alist imports, rank-deficient
+        # terminated SC-LDPC chains, ...): row-reduce H, take the
+        # non-pivot columns as the information set (true dimension
+        # n - rank >= design k), and solve the pivot bits with one MXU
+        # matmul: RREF row r says c[pivot_r] = sum_{f in free} R[r,f] c_f.
+        # Systematic in the free positions, not necessarily the leading
+        # k columns; encode_fn.k / .info_cols expose the mapping.
+        import scipy.sparse as sp
+
+        from tpu_ldpc.golden.encoder import gf2_row_reduce
+
+        Hd = (np.asarray(sp.csr_matrix(code.H).todense()) % 2).astype(np.uint8)
+        n = Hd.shape[1]
+        rref, pivots = gf2_row_reduce(Hd)
+        rank = len(pivots)
+        free = np.asarray(
+            sorted(set(range(n)) - set(pivots)), dtype=np.int64)
+        pivots = np.asarray(pivots, dtype=np.int64)
+        MT = jnp.asarray(rref[:rank][:, free].T, dtype=jnp.float32)
+        free_j = jnp.asarray(free)
+        piv_j = jnp.asarray(pivots)
+        true_k = n - rank
+
+        @jax.jit
+        def _pivot_encode(u):
+            uf = u.astype(jnp.float32)
+            p = jnp.mod(
+                jnp.dot(uf, MT, preferred_element_type=jnp.float32), 2.0
+            ).astype(jnp.uint8)
+            c = jnp.zeros((u.shape[0], n), jnp.uint8)
+            c = c.at[:, free_j].set(u.astype(jnp.uint8))
+            return c.at[:, piv_j].set(p)
+
+        def encode_fn(u):
+            return _pivot_encode(u)
+
+        encode_fn.k = true_k
+        encode_fn.info_cols = free
         return encode_fn
 
     if method == "dual_diagonal":

@@ -123,9 +123,16 @@ def build_mc_step(
     """
     from tpu_ldpc.decode.api import build_decode_fn
 
-    encode_fn = build_encoder(code, "generator")
+    try:
+        encode_fn = build_encoder(code, "generator")
+        k, info_cols = code.k, None
+    except ValueError:
+        # arbitrary/rank-deficient H (e.g. terminated SC-LDPC): general
+        # pivot encoder; info bits live at its information-set columns
+        encode_fn = build_encoder(code, "pivot")
+        k, info_cols = encode_fn.k, jnp.asarray(encode_fn.info_cols)
     decode_fn = build_decode_fn(code, cfg)
-    k, rate = code.k, code.rate
+    rate = code.rate
     fault_hook = _FAULT_HOOK
 
     def one_batch(seed, snr_idx, ebn0_db, ctr):
@@ -137,7 +144,7 @@ def build_mc_step(
         bits, ok, iters_used = decode_fn(llr)
         if fault_hook is not None:
             bits, ok, iters_used = fault_hook(key, bits, ok, iters_used)
-        info = bits[:, :k]
+        info = bits[:, :k] if info_cols is None else bits[:, info_cols]
         wrong = info != u
         frame_wrong = jnp.any(wrong, axis=1)
         return jnp.stack(
@@ -160,7 +167,11 @@ def build_mc_step(
             0, steps_per_call, body, jnp.zeros(6, jnp.int32)
         )
 
-    return step
+    def stepper(*args):
+        return step(*args)
+
+    stepper.k = k  # true info dimension (== code.k unless pivot-encoded)
+    return stepper
 
 
 def default_steps_per_call() -> int:
@@ -228,7 +239,7 @@ def run_ber(
             if step_log is not None:
                 _log_step(step_log, code, res, t0)
         res.wall_s += time.perf_counter() - t0
-        res.bits = res.frames * code.k
+        res.bits = res.frames * getattr(step, "k", code.k)
         results.append(res)
         if progress:
             print(

@@ -157,3 +157,22 @@ def test_compressed_row_state_bitexact():
     assert (pb == gb).all()
     assert (pok == gok).all()
     assert (pit == git).all()
+
+
+def test_sc_code_bitexact():
+    """Banded SC-LDPC base graphs (codes/base_graphs.py::
+    make_sc_base_graph) flow through the fused kernel unchanged — the
+    layout contract covers them; bit-exact vs golden like every code."""
+    from tpu_ldpc.codes import make_sc_base_graph
+
+    B = make_sc_base_graph(8, 8, seed=5)
+    code = LdpcCode.from_base_graph(B, 8, name="sc8k")
+    # raw LLRs (golden_encode needs an invertible parity block; the SC
+    # chain is rank-deficient — see the pivot encoder tests)
+    rng = np.random.default_rng(7)
+    llr = rng.normal(scale=4.0, size=(24, code.n)).astype(np.float32)
+    gb, gok, git = golden_decode(code.H, llr, algo="minsum", iters=12,
+                                 dtype=np.float32)
+    fn = build_pallas_decoder(code, iters=12, interpret=True)
+    pb, pok, pit = map(np.asarray, fn(llr))
+    assert (pb == gb).all() and (pok == gok).all() and (pit == git).all()

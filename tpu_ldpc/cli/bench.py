@@ -67,11 +67,47 @@ def bench_decode(
             schedule=schedule, early_stop=early_stop,
         )
 
-    jax.block_until_ready(fn(bufs[0]))
-    t0 = time.perf_counter()
-    for i in range(reps):
-        jax.block_until_ready(fn(bufs[i % n_bufs]))
-    dt = (time.perf_counter() - t0) / reps
+    # On-device estimator, exactly bench.py's method: N fresh keyed LLR
+    # generations + decodes inside ONE device fori_loop, minus the
+    # generation-only loop.  This is the only pattern measured to defeat
+    # BOTH failure modes of this environment: per-call host timing (the
+    # ~25 ms dispatch round trip) and the remote runtime's computation
+    # cache, which fires whenever the large input buffers repeat — even
+    # salted cycled-buffer loops returned physically impossible times.
+    del bufs
+    scale, sig = float(2.0 / sigma2), float(np.sqrt(sigma2))
+    xj = jnp.asarray(x.astype(np.float32))
+    inner = max(8, reps)
+
+    def gen(key):
+        return scale * (xj + sig * jax.random.normal(key, xj.shape,
+                                                     jnp.float32))
+
+    def make_loop(dec):
+        @jax.jit
+        def many(key0):
+            def body(i, acc):
+                llr = gen(jax.random.fold_in(key0, i))
+                if dec is None:
+                    return acc + jnp.sum(llr).astype(jnp.int32)
+                _, _, iu = dec(llr)
+                return acc + jnp.sum(iu)
+
+            return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+
+        return many
+
+    def timed(dec, tries=3):
+        loop = make_loop(dec)
+        jax.block_until_ready(loop(jax.random.key(999)))
+        best = float("inf")
+        for r in range(tries):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(jax.random.key(r)))
+            best = min(best, time.perf_counter() - t0)
+        return best / inner
+
+    dt = timed(fn) - timed(None)
     return dt, batch * code.k / dt
 
 

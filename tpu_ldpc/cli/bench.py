@@ -1,8 +1,9 @@
 """`python -m tpu_ldpc.cli.bench` — judge-metric throughput (SURVEY.md C13).
 
-Measures decoded info bits/s/chip (call stack §3.5): decode-only, LLRs
-pregenerated on device, per-call blocking, distinct cycled input buffers
-(this environment's async dispatch makes anything else unreliable).
+Measures decoded info bits/s/chip (call stack §3.5) with the on-device
+fori_loop method shared with bench.py: fresh keyed LLR generation per
+inner step, generation-only loop subtracted (the only measured-reliable
+pattern here — see BASELINE.md's measurement-method findings).
 Reports single-chip and, when more devices are visible, mesh-sharded
 scaling.  `--profile DIR` wraps the timed loop in a jax.profiler trace.
 """
@@ -27,7 +28,6 @@ def bench_decode(
     ebn0_db: float = 2.0,
     reps: int = 30,
     impl: str = "auto",
-    n_bufs: int = 8,
 ):
     """Time the decode path; returns (seconds/batch, info bits/s)."""
     import jax
@@ -41,13 +41,6 @@ def bench_decode(
     u = rng.integers(0, 2, (batch, code.k)).astype(np.uint8)
     c = golden_encode(code.H, u)
     x = 1.0 - 2.0 * c
-    bufs = [
-        jnp.asarray(
-            ((2.0 / sigma2) * (x + np.sqrt(sigma2)
-                               * rng.normal(size=x.shape))).astype(np.float32)
-        )
-        for _ in range(n_bufs)
-    ]
 
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
@@ -74,7 +67,6 @@ def bench_decode(
     # ~25 ms dispatch round trip) and the remote runtime's computation
     # cache, which fires whenever the large input buffers repeat — even
     # salted cycled-buffer loops returned physically impossible times.
-    del bufs
     scale, sig = float(2.0 / sigma2), float(np.sqrt(sigma2))
     xj = jnp.asarray(x.astype(np.float32))
     inner = max(8, reps)

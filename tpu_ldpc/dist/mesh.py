@@ -77,11 +77,13 @@ def build_sharded_mc_step(
     replicated-control discipline).
     """
     from tpu_ldpc.decode.api import build_decode_fn
-    from tpu_ldpc.encode.encoder import build_encoder
+    from tpu_ldpc.encode.encoder import select_encoder
 
-    encode_fn = build_encoder(code, "generator")
+    encode_fn, k, info_cols = select_encoder(code)
+    if info_cols is not None:
+        info_cols = jnp.asarray(info_cols)
     decode_fn = build_decode_fn(code, cfg)
-    k, rate = code.k, code.rate
+    rate = k / code.n
     batch = per_device_batch
 
     def one_batch(seed, snr_idx, ebn0_db, ctr, dev):
@@ -91,7 +93,8 @@ def build_sharded_mc_step(
         c = encode_fn(u)
         llr = awgn_llrs(key_n, c, ebn0_db, rate)
         bits, ok, iters_used = decode_fn(llr)
-        wrong = bits[:, :k] != u
+        info = bits[:, :k] if info_cols is None else bits[:, info_cols]
+        wrong = info != u
         frame_wrong = jnp.any(wrong, axis=1)
         return jnp.stack(
             [
@@ -117,14 +120,19 @@ def build_sharded_mc_step(
         )
         return jax.lax.psum(counters, axis)  # ★ the collective (ICI/DCN)
 
-    sharded = shard_map(
+    sharded = jax.jit(shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def stepper(*args):
+        return sharded(*args)
+
+    stepper.k = k  # true info dimension (== code.k unless pivot-encoded)
+    return stepper
 
 
 def run_ber_sharded(
@@ -187,9 +195,9 @@ def run_ber_sharded(
             if step_log is not None and jax.process_index() == 0:
                 from tpu_ldpc.sim.mc import _log_step
 
-                _log_step(step_log, code, res, t0)
+                _log_step(step_log, code, res, t0, getattr(step, 'k', None))
         res.wall_s += time.perf_counter() - t0
-        res.bits = res.frames * code.k
+        res.bits = res.frames * getattr(step, "k", code.k)
         results.append(res)
         if progress and jax.process_index() == 0:
             print(

@@ -86,6 +86,12 @@ def build_ring_decoder(
     if L % n_dev:
         raise ValueError(f"L={L} not divisible by {n_dev} devices")
     ppd = L // n_dev                       # positions per device
+    if ppd < HALO_POSITIONS:
+        raise ValueError(
+            f"need >= {HALO_POSITIONS} coupling positions per device "
+            f"(L={L}, {n_dev} devices gives {ppd}): a single-hop "
+            "neighbor halo cannot span multiple shards"
+        )
     cpd = ppd * COLS_PER_POSITION          # block-cols per device
     halo = HALO_POSITIONS * COLS_PER_POSITION
     # bandedness check: row i only touches block-cols of positions i-2..i

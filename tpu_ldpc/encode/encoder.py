@@ -144,3 +144,19 @@ def build_encoder(code: LdpcCode, method: str = "generator"):
 def encode(code: LdpcCode, u, method: str = "generator"):
     fn = build_encoder(code, method)
     return fn(jnp.asarray(u))
+
+
+def select_encoder(code: LdpcCode):
+    """Encoder selection shared by the MC step builders (single-device
+    and sharded): the dense-generator path when the trailing parity
+    block is invertible, else the general pivot path.
+
+    Returns (encode_fn, k, info_cols): k is the true info dimension and
+    info_cols is None for the generator path (info bits are the leading
+    k columns) or the pivot information-set column indices.
+    """
+    try:
+        return build_encoder(code, "generator"), code.k, None
+    except ValueError:
+        fn = build_encoder(code, "pivot")
+        return fn, fn.k, fn.info_cols

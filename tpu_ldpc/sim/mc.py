@@ -74,7 +74,7 @@ class SnrResult:
         return self.iter_sum / max(self.frames, 1)
 
 
-def _log_step(path: str, code, res, t0: float) -> None:
+def _log_step(path: str, code, res, t0: float, k: int | None = None) -> None:
     import json
 
     elapsed = time.perf_counter() - t0
@@ -85,7 +85,7 @@ def _log_step(path: str, code, res, t0: float) -> None:
         "frame_errors": res.frame_errors,
         "mean_iters": res.mean_iters,
         "wall_s": round(elapsed, 4),
-        "info_bits_per_s": round(res.frames * code.k / max(elapsed, 1e-9), 1),
+        "info_bits_per_s": round(res.frames * (k or code.k) / max(elapsed, 1e-9), 1),
     }
     with open(path, "a") as f:
         f.write(json.dumps(rec) + "\n")
@@ -123,16 +123,15 @@ def build_mc_step(
     """
     from tpu_ldpc.decode.api import build_decode_fn
 
-    try:
-        encode_fn = build_encoder(code, "generator")
-        k, info_cols = code.k, None
-    except ValueError:
-        # arbitrary/rank-deficient H (e.g. terminated SC-LDPC): general
-        # pivot encoder; info bits live at its information-set columns
-        encode_fn = build_encoder(code, "pivot")
-        k, info_cols = encode_fn.k, jnp.asarray(encode_fn.info_cols)
+    from tpu_ldpc.encode.encoder import select_encoder
+
+    encode_fn, k, info_cols = select_encoder(code)
+    if info_cols is not None:
+        info_cols = jnp.asarray(info_cols)
     decode_fn = build_decode_fn(code, cfg)
-    rate = code.rate
+    # Eb/N0 is referenced to the TRUE information rate (k may exceed the
+    # design dimension for rank-deficient codes, e.g. terminated SC)
+    rate = k / code.n
     fault_hook = _FAULT_HOOK
 
     def one_batch(seed, snr_idx, ebn0_db, ctr):
@@ -237,7 +236,7 @@ def run_ber(
             if state is not None:
                 state.save_point(snr_idx, res, batch_ctr)
             if step_log is not None:
-                _log_step(step_log, code, res, t0)
+                _log_step(step_log, code, res, t0, getattr(step, 'k', None))
         res.wall_s += time.perf_counter() - t0
         res.bits = res.frames * getattr(step, "k", code.k)
         results.append(res)

@@ -65,3 +65,18 @@ def test_pivot_encoder_rank_deficient_sc_code():
     assert (c[:, enc.info_cols] == u).all()      # systematic in info set
     # distinct info words -> distinct codewords (injective encoding)
     assert len({bytes(row) for row in c}) == len(c)
+
+
+def test_select_encoder_dispatch():
+    """select_encoder: generator path for registry codes (info_cols
+    None), pivot fallback for rank-deficient codes."""
+    from tpu_ldpc.codes import LdpcCode, make_base_graph, make_sc_base_graph
+    from tpu_ldpc.encode.encoder import select_encoder
+
+    reg = LdpcCode.from_base_graph(make_base_graph(4, 8, 8, seed=7), 8)
+    fn, k, cols = select_encoder(reg)
+    assert k == reg.k and cols is None
+
+    sc = LdpcCode.from_base_graph(make_sc_base_graph(8, 8, seed=5), 8, "sc")
+    fn, k, cols = select_encoder(sc)
+    assert k > sc.k and cols is not None and len(cols) == k

@@ -39,6 +39,22 @@ class CodeSpec:
 @dataclasses.dataclass(frozen=True)
 class ChannelCfg:
     ebn0_grid: tuple = (1.0, 1.5, 2.0, 2.5, 3.0)
+    # rate adaptation (channel.adapt): block-column indices of the
+    # mother code to puncture (any block) / shorten (info blocks only)
+    puncture_blocks: tuple = ()
+    shorten_blocks: tuple = ()
+
+    def build_adapt(self, code):
+        """RateAdapt for this config, or None when not adapted."""
+        if not self.puncture_blocks and not self.shorten_blocks:
+            return None
+        from tpu_ldpc.channel.adapt import RateAdapt
+
+        return RateAdapt.from_blocks(
+            code,
+            puncture_blocks=self.puncture_blocks,
+            shorten_blocks=self.shorten_blocks,
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,6 +31,10 @@ def build_parser():
     p.add_argument("--alpha", type=float)
     p.add_argument("--beta", type=float)
     p.add_argument("--schedule", choices=["flooding", "layered"])
+    p.add_argument("--puncture-blocks", type=int, nargs="+", metavar="B",
+                   help="block-columns to puncture (rate adaptation)")
+    p.add_argument("--shorten-blocks", type=int, nargs="+", metavar="B",
+                   help="info block-columns to shorten (rate adaptation)")
     p.add_argument("--impl", choices=["auto", "jnp", "pallas"])
     p.add_argument("--batch", type=int)
     p.add_argument("--target-fe", type=int)
@@ -68,6 +72,12 @@ def args_to_config(args):
             overrides.append(f"{k}={json.dumps(v)}")
     if args.ebn0:
         overrides.append(f"channel.ebn0_grid={json.dumps(args.ebn0)}")
+    if args.puncture_blocks:
+        overrides.append(
+            f"channel.puncture_blocks={json.dumps(args.puncture_blocks)}")
+    if args.shorten_blocks:
+        overrides.append(
+            f"channel.shorten_blocks={json.dumps(args.shorten_blocks)}")
     if args.mesh:
         overrides.append("run.use_mesh=true")
     return SimConfig.from_sources(args.config, overrides)
@@ -82,6 +92,7 @@ def main(argv=None):
     from tpu_ldpc.sim.state import SweepState
 
     code = cfg.code.build()
+    adapt = cfg.channel.build_adapt(code)
     chash = cfg.config_hash()
     state = (
         SweepState(cfg.run.state_path, chash) if cfg.run.state_path else None
@@ -113,11 +124,17 @@ def main(argv=None):
         progress=True,
         state=state,
         step_log=cfg.run.step_jsonl or None,
+        adapt=adapt,
     )
     wall = time.time() - t0
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
 
+    if adapt is not None:
+        k_eff, n_tx = adapt.dims(code.n, code.k)
+        print(f"rate adaptation: punctured={len(adapt.puncture)} "
+              f"shortened={len(adapt.shorten)} -> "
+              f"(n_tx={n_tx}, k_eff={k_eff}, R_eff={k_eff / n_tx:.3f})")
     print(f"\ncode={code.name} (n={code.n}, k={code.k}, R={code.rate:.3f}) "
           f"algo={cfg.decode.algo} iters={cfg.decode.iters} "
           f"schedule={cfg.decode.schedule} config={chash} wall={wall:.1f}s\n")

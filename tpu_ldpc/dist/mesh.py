@@ -31,7 +31,6 @@ try:  # jax >= 0.7 top-level API; fall back for older versions
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from tpu_ldpc.channel.awgn import awgn_llrs
 from tpu_ldpc.codes.code import LdpcCode
 
 
@@ -66,6 +65,7 @@ def build_sharded_mc_step(
     mesh: Mesh,
     axis: str = "mc",
     steps_per_call: int = 1,
+    adapt=None,
 ):
     """Jitted SPMD MC step:
     (seed, snr_idx, ebn0_db, ctr0) -> psum'd counters.
@@ -74,46 +74,20 @@ def build_sharded_mc_step(
     run per dispatch on every device.  The returned counters are
     replicated over the mesh, so every host's control loop sees
     identical values and makes identical early-stop decisions (§3.3's
-    replicated-control discipline).
+    replicated-control discipline).  The per-batch kernel (encode ->
+    channel [incl. rate adaptation] -> decode -> count) is shared with
+    the single-device path (sim.mc.build_batch_fn).
     """
-    from tpu_ldpc.decode.api import build_decode_fn
-    from tpu_ldpc.encode.encoder import select_encoder
+    from tpu_ldpc.sim.mc import build_batch_fn
 
-    encode_fn, k, info_cols = select_encoder(code)
-    if info_cols is not None:
-        info_cols = jnp.asarray(info_cols)
-    decode_fn = build_decode_fn(code, cfg)
-    rate = k / code.n
-    batch = per_device_batch
-
-    def one_batch(seed, snr_idx, ebn0_db, ctr, dev):
-        key = fold_key_device(seed, snr_idx, ctr, dev)
-        key_u, key_n = jax.random.split(key)
-        u = jax.random.bernoulli(key_u, 0.5, (batch, k)).astype(jnp.uint8)
-        c = encode_fn(u)
-        llr = awgn_llrs(key_n, c, ebn0_db, rate)
-        bits, ok, iters_used = decode_fn(llr)
-        info = bits[:, :k] if info_cols is None else bits[:, info_cols]
-        wrong = info != u
-        frame_wrong = jnp.any(wrong, axis=1)
-        return jnp.stack(
-            [
-                jnp.asarray(batch, jnp.int32),
-                jnp.sum(wrong, dtype=jnp.int32),
-                jnp.sum(frame_wrong, dtype=jnp.int32),
-                jnp.sum(~ok, dtype=jnp.int32),
-                jnp.sum(ok & frame_wrong, dtype=jnp.int32),
-                jnp.sum(iters_used, dtype=jnp.int32),
-            ]
-        )
+    one_batch = build_batch_fn(code, cfg, per_device_batch, adapt)
 
     def local_step(seed, snr_idx, ebn0_db, ctr0):
         dev = jax.lax.axis_index(axis)
 
         def body(t, acc):
-            return acc + one_batch(
-                seed[0], snr_idx[0], ebn0_db[0], ctr0[0] + t, dev
-            )
+            key = fold_key_device(seed[0], snr_idx[0], ctr0[0] + t, dev)
+            return acc + one_batch(key, ebn0_db[0])
 
         counters = jax.lax.fori_loop(
             0, steps_per_call, body, jnp.zeros(6, jnp.int32)
@@ -131,7 +105,7 @@ def build_sharded_mc_step(
     def stepper(*args):
         return sharded(*args)
 
-    stepper.k = k  # true info dimension (== code.k unless pivot-encoded)
+    stepper.k = one_batch.k  # effective info bits per frame
     return stepper
 
 
@@ -149,6 +123,7 @@ def run_ber_sharded(
     state=None,
     steps_per_call: int | None = None,
     step_log: str | None = None,
+    adapt=None,
 ):
     """Multi-device frame-error-targeted sweep (host loop of §3.3).
 
@@ -161,7 +136,7 @@ def run_ber_sharded(
         steps_per_call = default_steps_per_call()
     n_dev = mesh.size
     step = build_sharded_mc_step(
-        code, cfg, batch, mesh, axis, steps_per_call
+        code, cfg, batch, mesh, axis, steps_per_call, adapt
     )
     results = []
     for snr_idx, ebn0 in enumerate(ebn0_grid):

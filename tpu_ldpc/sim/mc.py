@@ -105,46 +105,55 @@ def fold_key(base_seed: int, snr_idx: int, batch_ctr: int) -> jax.Array:
 _FAULT_HOOK = None
 
 
-@functools.lru_cache(maxsize=64)
-def build_mc_step(
-    code: LdpcCode,
-    cfg: DecodeCfg,
-    batch: int,
-    steps_per_call: int = 1,
-):
-    """Jitted MC step: (seed, snr_idx, ebn0_db, ctr0) -> counter vector.
+def build_batch_fn(code: LdpcCode, cfg: DecodeCfg, batch: int,
+                   adapt=None, fault_hook=None):
+    """Shared per-batch MC kernel: (key, ebn0_db) -> (6,) int32 counters.
 
-    Eb/N0 is a *traced* scalar, so one compilation serves the entire
-    sweep; `steps_per_call` batches run per dispatch inside an on-device
-    fori_loop (host<->device round trips are expensive in remote-TPU
-    setups).  PRNG discipline is unchanged: inner step t uses
-    fold_key(seed, snr_idx, ctr0 + t), so counter totals are identical
-    for any steps_per_call grouping.
+    Used by both the single-device (build_mc_step) and sharded
+    (dist.mesh.build_sharded_mc_step) step builders.  Handles rate
+    adaptation (channel.adapt.RateAdapt): shortened info bits are drawn
+    as zeros and excluded from error counting, the channel erases
+    punctured positions and saturates shortened ones, and Eb/N0 is
+    referenced to the effective rate k_eff/n_tx.  `.k` on the returned
+    function is the effective info bits counted per frame.
     """
     from tpu_ldpc.decode.api import build_decode_fn
-
     from tpu_ldpc.encode.encoder import select_encoder
 
     encode_fn, k, info_cols = select_encoder(code)
-    if info_cols is not None:
-        info_cols = jnp.asarray(info_cols)
     decode_fn = build_decode_fn(code, cfg)
-    # Eb/N0 is referenced to the TRUE information rate (k may exceed the
-    # design dimension for rank-deficient codes, e.g. terminated SC)
-    rate = k / code.n
-    fault_hook = _FAULT_HOOK
+    if adapt is not None:
+        from tpu_ldpc.channel.adapt import adapted_awgn_llrs
 
-    def one_batch(seed, snr_idx, ebn0_db, ctr):
-        key = fold_key(seed, snr_idx, ctr)
+        k_eff, n_tx = adapt.dims(code.n, k)
+        # Eb/N0 references energy actually transmitted per effective bit
+        rate = k_eff / n_tx
+        tx_np, known_np, active_np = adapt.masks(code.n, k, info_cols)
+        tx_mask, known_llr = jnp.asarray(tx_np), jnp.asarray(known_np)
+        active_u = jnp.asarray(active_np)
+    else:
+        # true information rate (k may exceed the design dimension for
+        # rank-deficient codes, e.g. terminated SC chains)
+        k_eff, rate = k, k / code.n
+    info_cols_j = None if info_cols is None else jnp.asarray(info_cols)
+
+    def one_batch(key, ebn0_db):
         key_u, key_n = jax.random.split(key)
         u = jax.random.bernoulli(key_u, 0.5, (batch, k)).astype(jnp.uint8)
+        if adapt is not None:
+            u = u * active_u
         c = encode_fn(u)
-        llr = awgn_llrs(key_n, c, ebn0_db, rate)
+        if adapt is not None:
+            llr = adapted_awgn_llrs(key_n, c, ebn0_db, rate, tx_mask, known_llr)
+        else:
+            llr = awgn_llrs(key_n, c, ebn0_db, rate)
         bits, ok, iters_used = decode_fn(llr)
         if fault_hook is not None:
             bits, ok, iters_used = fault_hook(key, bits, ok, iters_used)
-        info = bits[:, :k] if info_cols is None else bits[:, info_cols]
+        info = bits[:, :k] if info_cols_j is None else bits[:, info_cols_j]
         wrong = info != u
+        if adapt is not None:
+            wrong = wrong & (active_u == 1)
         frame_wrong = jnp.any(wrong, axis=1)
         return jnp.stack(
             [
@@ -157,10 +166,35 @@ def build_mc_step(
             ]
         )
 
+    one_batch.k = k_eff
+    return one_batch
+
+
+@functools.lru_cache(maxsize=64)
+def build_mc_step(
+    code: LdpcCode,
+    cfg: DecodeCfg,
+    batch: int,
+    steps_per_call: int = 1,
+    adapt=None,
+):
+    """Jitted MC step: (seed, snr_idx, ebn0_db, ctr0) -> counter vector.
+
+    Eb/N0 is a *traced* scalar, so one compilation serves the entire
+    sweep; `steps_per_call` batches run per dispatch inside an on-device
+    fori_loop (host<->device round trips are expensive in remote-TPU
+    setups).  PRNG discipline is unchanged: inner step t uses
+    fold_key(seed, snr_idx, ctr0 + t), so counter totals are identical
+    for any steps_per_call grouping.
+    """
+    one_batch = build_batch_fn(code, cfg, batch, adapt,
+                               fault_hook=_FAULT_HOOK)
+
     @jax.jit
     def step(seed, snr_idx, ebn0_db, ctr0):
         def body(t, acc):
-            return acc + one_batch(seed, snr_idx, ebn0_db, ctr0 + t)
+            key = fold_key(seed, snr_idx, ctr0 + t)
+            return acc + one_batch(key, ebn0_db)
 
         return jax.lax.fori_loop(
             0, steps_per_call, body, jnp.zeros(6, jnp.int32)
@@ -169,7 +203,7 @@ def build_mc_step(
     def stepper(*args):
         return step(*args)
 
-    stepper.k = k  # true info dimension (== code.k unless pivot-encoded)
+    stepper.k = one_batch.k  # effective info bits per frame
     return stepper
 
 
@@ -191,6 +225,7 @@ def run_ber(
     state=None,
     steps_per_call: int | None = None,
     step_log: str | None = None,
+    adapt=None,
 ) -> list[SnrResult]:
     """Frame-error-targeted Eb/N0 sweep.  Single-device unless `mesh`
     is given (then the batch is sharded; see tpu_ldpc.dist).
@@ -198,6 +233,7 @@ def run_ber(
     step_log: path for per-dispatch JSONL observability records
     (SURVEY.md §5: snr, cumulative frames/errors, mean iters, wall
     time, decoded info bits/s).
+    adapt: optional channel.adapt.RateAdapt puncturing/shortening spec.
     """
     if mesh is not None:
         from tpu_ldpc.dist.mesh import run_ber_sharded
@@ -205,11 +241,11 @@ def run_ber(
         return run_ber_sharded(
             code, ebn0_grid, cfg, batch, target_frame_errors, max_frames,
             seed, mesh, progress=progress, state=state,
-            steps_per_call=steps_per_call, step_log=step_log,
+            steps_per_call=steps_per_call, step_log=step_log, adapt=adapt,
         )
     if steps_per_call is None:
         steps_per_call = default_steps_per_call()
-    step = build_mc_step(code, cfg, batch, steps_per_call)
+    step = build_mc_step(code, cfg, batch, steps_per_call, adapt)
     results = []
     for snr_idx, ebn0 in enumerate(ebn0_grid):
         res = SnrResult(ebn0_db=float(ebn0))

@@ -1,0 +1,108 @@
+"""Windowed SC-LDPC decoder tests (decode/windowed.py).
+
+The strongest pin: a window covering the whole chain with one slide is
+the reference flooding decoder, bit-exactly — same two-min contract,
+same accumulation order.  Sliding-window behavior is checked for
+boundary handling, streaming-commit equivalence, and decode success.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ldpc.channel import awgn_llrs
+from tpu_ldpc.codes import LdpcCode
+from tpu_ldpc.codes.base_graphs import make_sc_base_graph
+from tpu_ldpc.decode.reference import build_decoder
+from tpu_ldpc.decode.windowed import banded_tables, build_windowed_decoder
+
+
+def sc_code(L=8, Z=8, seed=3):
+    return LdpcCode.from_base_graph(
+        make_sc_base_graph(L, Z, seed=seed), Z, f"sc_l{L}_z{Z}"
+    )
+
+
+def noisy_zero_llrs(code, ebn0_db, batch, seed=0):
+    c = jnp.zeros((batch, code.n), jnp.uint8)  # all-zero codeword
+    return awgn_llrs(jax.random.key(seed), c, ebn0_db, code.rate)
+
+
+def test_banded_tables_shape_and_rejection():
+    code = sc_code()
+    S, M = banded_tables(code)
+    assert S.shape == (code.mb, 6) and M.shape == (code.mb, 6)
+    assert M.sum() == (np.asarray(code.B) >= 0).sum()
+    # interior rows are full-degree
+    assert M[3].all() and M[code.mb - 3].all()
+    with pytest.raises(ValueError):
+        banded_tables(LdpcCode.judged())
+
+
+@pytest.mark.parametrize("algo", ["minsum", "sumproduct"])
+def test_full_window_equals_reference_flooding(algo):
+    """W = mb, one slide, I iterations == reference flooding-I."""
+    code = sc_code(L=8, Z=8)
+    iters = 12
+    llr = noisy_zero_llrs(code, 1.0, batch=16)  # noisy: messages exercised
+    win = build_windowed_decoder(
+        code, window=code.mb, iters_per_window=iters, algo=algo
+    )
+    ref = build_decoder(
+        code, algo=algo, iters=iters, early_stop=False, schedule="flooding"
+    )
+    bw, okw, _ = map(np.asarray, win(llr))
+    br, okr, _ = map(np.asarray, ref(llr))
+    np.testing.assert_array_equal(bw, br)
+    np.testing.assert_array_equal(okw, okr)
+
+
+def test_full_window_posterior_bit_exact_minsum():
+    """Min-sum arithmetic is exact in fp32: decoded bits must agree with
+    the reference on EVERY frame of a mid-SNR batch (no tolerance)."""
+    code = sc_code(L=6, Z=16, seed=5)
+    llr = noisy_zero_llrs(code, 2.0, batch=32, seed=9)
+    win = build_windowed_decoder(code, window=code.mb, iters_per_window=30)
+    ref = build_decoder(code, algo="minsum", iters=30, early_stop=False)
+    bw, _, _ = map(np.asarray, win(llr))
+    br, _, _ = map(np.asarray, ref(llr))
+    np.testing.assert_array_equal(bw, br)
+
+
+def test_sliding_window_decodes_high_snr():
+    code = sc_code(L=16, Z=16, seed=1)
+    llr = noisy_zero_llrs(code, 6.0, batch=16)
+    win = build_windowed_decoder(code, window=6, iters_per_window=2)
+    bits, ok, iu = map(np.asarray, win(llr))
+    assert ok.all()
+    assert (bits == 0).all()
+    n_windows = code.mb - 6 + 1
+    assert (iu == 2 * n_windows).all()
+
+
+def test_window_quality_monotone_in_width():
+    """Windowed decoding approaches full-BP quality from above as the
+    window widens (measured property frozen here; deterministic: fixed
+    key + deterministic decoders, so this is not an MC-flaky assert)."""
+    code = sc_code(L=32, Z=8, seed=1)
+    llr = noisy_zero_llrs(code, 2.5, batch=64, seed=4)
+    narrow = build_windowed_decoder(code, window=6, iters_per_window=3)
+    wide = build_windowed_decoder(code, window=10, iters_per_window=3)
+    full = build_decoder(code, algo="minsum", iters=50, early_stop=False)
+    e = {}
+    for name, dec in (("narrow", narrow), ("wide", wide), ("full", full)):
+        b, _, _ = map(np.asarray, dec(llr))
+        e[name] = int((b != 0).any(axis=1).sum())
+    assert e["full"] <= e["wide"] <= e["narrow"]
+    assert e["wide"] < e["narrow"]  # widening visibly helps
+
+
+def test_window_validation():
+    code = sc_code()
+    with pytest.raises(ValueError):
+        build_windowed_decoder(code, window=0)
+    with pytest.raises(ValueError):
+        build_windowed_decoder(code, window=code.mb + 1)
+    with pytest.raises(ValueError):
+        build_windowed_decoder(code, window=4, algo="nope")

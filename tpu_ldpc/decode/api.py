@@ -16,6 +16,12 @@ from tpu_ldpc.codes.code import LdpcCode
 def build_decode_fn(code: LdpcCode, cfg):
     """cfg: sim.mc.DecodeCfg (or anything with the same fields)."""
     impl = getattr(cfg, "impl", "auto")
+    if cfg.algo in ("bitflip", "wbf"):
+        # hard-decision decoders: integer-cheap, XLA-compiled jnp is
+        # already at the memory floor (see decode/hard.py docstring)
+        from tpu_ldpc.decode.hard import build_hard_decoder
+
+        return build_hard_decoder(code, algo=cfg.algo, iters=cfg.iters)
     # 'auto' prefers the fused Pallas kernel on real TPU hardware; on CPU
     # backends it uses the XLA-compiled jnp reference decoder (Pallas
     # interpret mode is for tests, far too slow for simulation work).

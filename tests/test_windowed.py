@@ -106,3 +106,16 @@ def test_window_validation():
         build_windowed_decoder(code, window=code.mb + 1)
     with pytest.raises(ValueError):
         build_windowed_decoder(code, window=4, algo="nope")
+
+
+def test_windowed_schedule_in_mc_harness():
+    """DecodeCfg(schedule='windowed') runs through run_ber (pivot
+    encoder fallback for the rank-deficient terminated chain)."""
+    from tpu_ldpc.sim import DecodeCfg, run_ber
+
+    code = sc_code(L=8, Z=8)
+    cfg = DecodeCfg(algo="minsum", iters=2, schedule="windowed", window=5)
+    res = run_ber(code, [7.0], cfg=cfg, batch=32,
+                  target_frame_errors=5, max_frames=64, seed=0)[0]
+    assert res.frames > 0
+    assert res.fer < 0.5  # high SNR: mostly decodes

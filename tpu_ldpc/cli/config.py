@@ -17,12 +17,14 @@ from tpu_ldpc.sim.mc import DecodeCfg
 
 @dataclasses.dataclass(frozen=True)
 class CodeSpec:
-    """Which code to build: a registry family cell or the judged code."""
+    """Which code to build: a registry family cell, an SC chain, an
+    alist import, or the judged code."""
 
-    family: str = "judged"   # 'judged' | 'wifi' | 'wimax' | 'alist'
+    family: str = "judged"   # 'judged' | 'wifi' | 'wimax' | 'sc' | 'alist'
     rate: str = "1/2"
     Z: int = 64
     path: str = ""           # for family='alist'
+    L: int = 32              # chain length, for family='sc'
 
     def build(self):
         from tpu_ldpc.codes import LdpcCode
@@ -33,6 +35,13 @@ class CodeSpec:
             from tpu_ldpc.codes.alist import load_alist
 
             return load_alist(self.path)
+        if self.family == "sc":
+            from tpu_ldpc.codes.base_graphs import make_sc_base_graph
+
+            return LdpcCode.from_base_graph(
+                make_sc_base_graph(self.L, self.Z),
+                self.Z, f"sc_l{self.L}_z{self.Z}",
+            )
         return LdpcCode.from_family(self.family, self.rate, self.Z)
 
 

@@ -21,7 +21,8 @@ def build_parser():
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="dotted config override, e.g. decode.alpha=0.8")
     # common shortcuts (equivalent to --set forms)
-    p.add_argument("--family", choices=["judged", "wifi", "wimax", "alist"])
+    p.add_argument("--family", choices=["judged", "wifi", "wimax", "sc", "alist"])
+    p.add_argument("--sc-length", type=int, help="SC chain length L (family=sc)")
     p.add_argument("--rate")
     p.add_argument("--z", type=int)
     p.add_argument("--alist")
@@ -30,7 +31,9 @@ def build_parser():
     p.add_argument("--iters", type=int)
     p.add_argument("--alpha", type=float)
     p.add_argument("--beta", type=float)
-    p.add_argument("--schedule", choices=["flooding", "layered"])
+    p.add_argument("--schedule", choices=["flooding", "layered", "windowed"])
+    p.add_argument("--window", type=int,
+                   help="window width in block-rows (schedule=windowed)")
     p.add_argument("--puncture-blocks", type=int, nargs="+", metavar="B",
                    help="block-columns to puncture (rate adaptation)")
     p.add_argument("--shorten-blocks", type=int, nargs="+", metavar="B",
@@ -57,10 +60,11 @@ def args_to_config(args):
     overrides = list(args.set)
     direct = {
         "code.family": args.family, "code.rate": args.rate, "code.Z": args.z,
-        "code.path": args.alist,
+        "code.path": args.alist, "code.L": args.sc_length,
         "decode.algo": args.algo, "decode.iters": args.iters,
         "decode.alpha": args.alpha, "decode.beta": args.beta,
         "decode.schedule": args.schedule, "decode.impl": args.impl,
+        "decode.window": args.window,
         "run.batch": args.batch, "run.target_frame_errors": args.target_fe,
         "run.max_frames": args.max_frames, "run.seed": args.seed,
         "run.state_path": args.checkpoint, "run.out_csv": args.csv,

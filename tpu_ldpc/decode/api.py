@@ -22,6 +22,15 @@ def build_decode_fn(code: LdpcCode, cfg):
         from tpu_ldpc.decode.hard import build_hard_decoder
 
         return build_hard_decoder(code, algo=cfg.algo, iters=cfg.iters)
+    if getattr(cfg, "schedule", "flooding") == "windowed":
+        # streaming SC-LDPC decoder (XLA scan; backend-agnostic).
+        # cfg.iters counts iterations per window slide here.
+        from tpu_ldpc.decode.windowed import build_windowed_decoder
+
+        return build_windowed_decoder(
+            code, window=cfg.window, iters_per_window=cfg.iters,
+            algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
+        )
     # 'auto' prefers the fused Pallas kernel on real TPU hardware; on CPU
     # backends it uses the XLA-compiled jnp reference decoder (Pallas
     # interpret mode is for tests, far too slow for simulation work).

@@ -33,8 +33,12 @@ class DecodeCfg:
     iters: int = 50
     alpha: float = 0.75
     beta: float = 0.0
-    schedule: str = "flooding"
+    schedule: str = "flooding"  # 'flooding' | 'layered' | 'windowed'
     impl: str = "auto"  # 'auto' | 'jnp' | 'pallas'
+    # schedule='windowed' only (SC-LDPC chains, decode/windowed.py):
+    # window width in block-rows; cfg.iters then counts iterations PER
+    # WINDOW SLIDE, not total
+    window: int = 8
 
 
 COUNTER_FIELDS = (

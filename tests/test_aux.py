@@ -226,3 +226,27 @@ class TestObservability:
             import os
 
             assert os.path.getsize(out) > 0
+
+
+def test_find_ebn0_at_fer():
+    """Bisection finds a bracketed waterfall crossing (deterministic
+    given the seed); out-of-range targets are flagged."""
+    from tpu_ldpc.codes import LdpcCode, make_base_graph
+    from tpu_ldpc.sim import DecodeCfg, find_ebn0_at_fer, run_ber
+
+    code = LdpcCode.from_base_graph(make_base_graph(4, 8, 4, seed=7), 4, "toy")
+    cfg = DecodeCfg(algo="minsum", iters=20, impl="jnp")
+    kw = dict(cfg=cfg, batch=128, target_frame_errors=40, seed=3)
+    sr = find_ebn0_at_fer(code, 0.05, lo=1.0, hi=9.0, tol_db=0.25,
+                          max_frames=4096, **kw)
+    assert sr.converged
+    lo, hi = sr.bracket
+    assert 1.0 <= lo <= sr.ebn0_db <= hi <= 9.0 and hi - lo <= 0.25
+    # the bracket really straddles the target (re-measure endpoints)
+    f_lo = run_ber(code, [lo], max_frames=4096, **kw)[0].fer
+    f_hi = run_ber(code, [hi], max_frames=4096, **kw)[0].fer
+    assert f_lo >= 0.05 >= f_hi
+    # target below reach of the range -> not converged
+    sr2 = find_ebn0_at_fer(code, 1e-9, lo=1.0, hi=2.0, tol_db=0.5,
+                           max_frames=512, **kw)
+    assert not sr2.converged

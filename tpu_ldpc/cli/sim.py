@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument("--csv", help="write waterfall CSV here")
     p.add_argument("--jsonl", help="write per-point JSONL records here")
     p.add_argument("--step-jsonl", help="write per-dispatch JSONL records here")
+    p.add_argument("--find-fer", type=float, metavar="FER",
+                   help="instead of sweeping, bisect for the Eb/N0 at "
+                        "this target FER (range = min/max of --ebn0)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the sweep into DIR")
     return p
@@ -114,6 +117,25 @@ def main(argv=None):
 
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
+
+    if args.find_fer is not None:
+        from tpu_ldpc.sim.search import find_ebn0_at_fer
+
+        grid = cfg.channel.ebn0_grid
+        t0 = time.time()
+        sr = find_ebn0_at_fer(
+            code, args.find_fer, cfg=cfg.decode,
+            lo=min(grid), hi=max(grid),
+            target_frame_errors=cfg.run.target_frame_errors,
+            batch=cfg.run.batch, seed=cfg.run.seed, mesh=mesh,
+            adapt=adapt, progress=True,
+        )
+        status = "converged" if sr.converged else "OUT OF RANGE"
+        print(f"\nEb/N0 @ FER {args.find_fer:.2e}: {sr.ebn0_db:.3f} dB "
+              f"(bracket [{sr.bracket[0]:.3f}, {sr.bracket[1]:.3f}], "
+              f"{status}, {len(sr.probes)} probes, "
+              f"wall={time.time() - t0:.1f}s)")
+        return sr
 
     t0 = time.time()
     results = run_ber(

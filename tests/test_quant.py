@@ -1,0 +1,103 @@
+"""Fixed-point quantized decoding (hardware-emulation mode).
+
+Contract: tpu_ldpc/golden/decoder.py module docstring + quantization
+comment block.  The quantizer uses only exact fp32 ops, so golden / jnp
+reference / Pallas (interpret) must agree BIT-EXACTLY on bits, ok, and
+iters_used — the same contract as float min-sum.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_ldpc.codes import LdpcCode, make_base_graph
+from tpu_ldpc.golden import decode as golden_decode
+from tpu_ldpc.golden.decoder import quantize, saturate
+from tpu_ldpc.decode.reference import build_decoder
+from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
+
+from test_pallas import noisy_llrs, toy_code
+
+
+def test_quantizer_properties():
+    x = np.array([0.0, 0.24, 0.25, 0.26, -0.26, 3.4, 100.0, -100.0, 1e-9],
+                 dtype=np.float32)
+    q = quantize(x, bits=4, step=0.5)
+    # round-half-away at the 0.25 boundary (0.25/0.5 + 0.5 = 1.0 -> k=1)
+    assert q.tolist() == [0.0, 0.0, 0.5, 0.5, -0.5, 3.5, 3.5, -3.5, 0.0]
+    # symmetric saturation: never negative full scale
+    assert np.abs(q).max() <= 3.5
+    # grid membership
+    assert np.all(q / 0.5 == np.round(q / 0.5))
+    # -0.0 canonicalization (Pallas reads sign bits)
+    neg = quantize(np.float32(-0.1), bits=4, step=0.5)
+    assert np.signbit(neg) == False  # noqa: E712
+    s = saturate(np.array([10.0, -10.0, 1.25], np.float32), bits=4, step=0.5)
+    assert s.tolist() == [3.5, -3.5, 1.25]
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+@pytest.mark.parametrize("qbits,qstep", [(4, 0.5), (6, 0.25)])
+def test_quant_bitexact_golden_jnp_pallas(schedule, qbits, qstep):
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 3.0, seed=11)
+    gb, gok, git = golden_decode(
+        code.H, llr, algo="minsum", iters=17, alpha=0.75,
+        schedule=schedule, dtype=np.float32,
+        quant_bits=qbits, quant_step=qstep,
+    )
+    jfn = build_decoder(code, algo="minsum", iters=17, alpha=0.75,
+                        schedule=schedule, quant_bits=qbits, quant_step=qstep)
+    jb, jok, jit_ = map(np.asarray, jfn(llr))
+    assert (jb == gb).all() and (jok == gok).all() and (jit_ == git).all()
+    pfn = build_pallas_decoder(
+        code, algo="minsum", iters=17, alpha=0.75, schedule=schedule,
+        quant_bits=qbits, quant_step=qstep, interpret=True,
+    )
+    pb, pok, pit = map(np.asarray, pfn(llr))
+    assert (pb == gb).all() and (pok == gok).all() and (pit == git).all()
+
+
+def test_quant_quality_vs_float():
+    """6-bit/0.25 fixed point must be near-transparent; 4-bit degraded but
+    functional; layered must NOT collapse relative to flooding (regression
+    for the wide-APP layered datapath — clamping the posterior through the
+    message range measured 2/128 vs 119/128 frames)."""
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 64, 3.5, seed=3)
+    ok = {}
+    for sched in ("flooding", "layered"):
+        _, fok, _ = golden_decode(code.H, llr, algo="minsum", iters=20,
+                                  schedule=sched, dtype=np.float32)
+        for qb, qs in ((4, 0.5), (6, 0.25)):
+            _, qok, _ = golden_decode(
+                code.H, llr, algo="minsum", iters=20, schedule=sched,
+                dtype=np.float32, quant_bits=qb, quant_step=qs)
+            ok[sched, qb] = int(qok.sum())
+        ok[sched, "float"] = int(fok.sum())
+    for sched in ("flooding", "layered"):
+        assert ok[sched, 6] >= ok[sched, "float"] - 2
+        assert ok[sched, 4] >= int(0.7 * ok[sched, "float"])
+        assert ok[sched, "float"] >= 48  # the fixture itself is sane
+    assert ok["layered", 4] >= ok["flooding", 4] - 6
+
+
+def test_quant_validation_and_api():
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 8, 4.0, seed=1)
+    with pytest.raises(ValueError):
+        golden_decode(code.H, llr, algo="sumproduct", quant_bits=6)
+    with pytest.raises(ValueError):
+        build_decoder(code, algo="sumproduct", quant_bits=6)
+    with pytest.raises(ValueError):
+        build_pallas_decoder(code, algo="sumproduct", quant_bits=6,
+                             interpret=True)
+    # dispatch plumbing: api.decode(quant_bits=...) == golden quantized
+    from tpu_ldpc.decode.api import decode as api_decode
+
+    gb, gok, git = golden_decode(code.H, llr, algo="minsum", iters=10,
+                                 dtype=np.float32, quant_bits=5,
+                                 quant_step=0.5)
+    ab, aok, ait = map(np.asarray,
+                       api_decode(code, llr, algo="minsum", iters=10,
+                                  quant_bits=5, quant_step=0.5))
+    assert (ab == gb).all() and (aok == gok).all() and (ait == git).all()

@@ -34,6 +34,13 @@ def build_parser():
     p.add_argument("--schedule", choices=["flooding", "layered", "windowed"])
     p.add_argument("--window", type=int,
                    help="window width in block-rows (schedule=windowed)")
+    p.add_argument("--quant-bits", type=int,
+                   help="fixed-point emulation: message width in bits "
+                        "(min-sum only; golden contract in golden/decoder.py)")
+    p.add_argument("--quant-step", type=float,
+                   help="fixed-point emulation: LSB step (default 0.5)")
+    p.add_argument("--quant-post-bits", type=int,
+                   help="fixed-point emulation: APP width (default bits+2)")
     p.add_argument("--puncture-blocks", type=int, nargs="+", metavar="B",
                    help="block-columns to puncture (rate adaptation)")
     p.add_argument("--shorten-blocks", type=int, nargs="+", metavar="B",
@@ -68,6 +75,9 @@ def args_to_config(args):
         "decode.alpha": args.alpha, "decode.beta": args.beta,
         "decode.schedule": args.schedule, "decode.impl": args.impl,
         "decode.window": args.window,
+        "decode.quant_bits": args.quant_bits,
+        "decode.quant_step": args.quant_step,
+        "decode.quant_post_bits": args.quant_post_bits,
         "run.batch": args.batch, "run.target_frame_errors": args.target_fe,
         "run.max_frames": args.max_frames, "run.seed": args.seed,
         "run.state_path": args.checkpoint, "run.out_csv": args.csv,

@@ -34,6 +34,11 @@ def build_decode_fn(code: LdpcCode, cfg):
     # 'auto' prefers the fused Pallas kernel on real TPU hardware; on CPU
     # backends it uses the XLA-compiled jnp reference decoder (Pallas
     # interpret mode is for tests, far too slow for simulation work).
+    quant_kw = dict(
+        quant_bits=getattr(cfg, "quant_bits", None),
+        quant_step=getattr(cfg, "quant_step", 0.5),
+        quant_post_bits=getattr(cfg, "quant_post_bits", None),
+    )
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
     )
@@ -48,6 +53,7 @@ def build_decode_fn(code: LdpcCode, cfg):
                 alpha=cfg.alpha,
                 beta=cfg.beta,
                 schedule=cfg.schedule,
+                **quant_kw,
             )
         except (ImportError, NotImplementedError):
             if impl == "pallas":
@@ -61,6 +67,7 @@ def build_decode_fn(code: LdpcCode, cfg):
         alpha=cfg.alpha,
         beta=cfg.beta,
         schedule=cfg.schedule,
+        **quant_kw,
     )
 
 
@@ -73,12 +80,16 @@ def decode(
     beta: float = 0.0,
     schedule: str = "flooding",
     impl: str = "auto",
+    quant_bits: int | None = None,
+    quant_step: float = 0.5,
+    quant_post_bits: int | None = None,
 ):
     from tpu_ldpc.sim.mc import DecodeCfg
 
     cfg = DecodeCfg(
         algo=algo, iters=iters, alpha=alpha, beta=beta,
-        schedule=schedule, impl=impl,
+        schedule=schedule, impl=impl, quant_bits=quant_bits,
+        quant_step=quant_step, quant_post_bits=quant_post_bits,
     )
     fn = build_decode_fn(code, cfg)
     return fn(jnp.asarray(llrs))

@@ -168,6 +168,9 @@ def build_pallas_decoder(
     dtype=jnp.float32,
     msg_dtype=None,
     compressed: bool = False,
+    quant_bits: int | None = None,
+    quant_step: float = 0.5,
+    quant_post_bits: int | None = None,
 ):
     """Build a jitted Pallas decoder: llr (batch, n) -> (bits, ok, iters_used).
 
@@ -178,6 +181,14 @@ def build_pallas_decoder(
     Quantized modes trade the bit-exact-vs-golden property for
     throughput; min-sum is famously robust to message quantization
     (hardware decoders run 6-8 bit messages).
+
+    quant_bits/quant_step/quant_post_bits: fixed-point hardware-emulation
+    mode (min-sum only) — uniform round + symmetric saturation applied at
+    the channel entry, the VN->CN messages, the CN outputs, and the
+    posterior, per the contract in tpu_ldpc/golden/decoder.py.  This mode
+    KEEPS the bit-exact-vs-golden property (all quantizer ops are exact
+    fp32), unlike msg_dtype: it models a q-bit hardware datapath rather
+    than compressing VMEM storage.
 
     Raises NotImplementedError if the code's message state cannot fit the
     VMEM budget (the decode.api dispatcher then falls back to the jnp
@@ -211,6 +222,21 @@ def build_pallas_decoder(
     if msg_dtype is None:
         msg_dtype = dtype
     quantized = msg_dtype != dtype
+    qz = sat_msg = sat_post = None
+    if quant_bits is not None:
+        if algo != "minsum":
+            raise ValueError("quantized decoding supports algo='minsum' only")
+        if compressed or quantized:
+            raise NotImplementedError(
+                "fixed-point quant mode excludes compressed/msg_dtype modes"
+            )
+        from tpu_ldpc.decode.reference import make_quantizers
+
+        qz, sat_msg, sat_post = make_quantizers(
+            int(quant_bits), float(quant_step),
+            int(quant_post_bits) if quant_post_bits is not None
+            else int(quant_bits) + 2,
+        )
     if compressed:
         # compressed row state replaces per-edge R entirely
         if algo != "minsum" or schedule != "flooding" or quantized:
@@ -274,8 +300,10 @@ def build_pallas_decoder(
                                 keepdims=True)
                     )
                 qs = [t - load_R(R_scr, e) for t, e in zip(ts, es)]
+                if sat_msg is not None:
+                    qs = [sat_msg(q) for q in qs]
                 for e, r_new in zip(es, cn_update(qs, f_alpha, f_beta)):
-                    store_R(R_scr, e, r_new)
+                    store_R(R_scr, e, qz(r_new) if qz is not None else r_new)
             if not early_stop:
                 return None
             viol = viols[0]
@@ -290,7 +318,7 @@ def build_pallas_decoder(
                 p = L_ref[j]
                 for e in col_edges[j]:
                     p = p + _roll_to_var(load_R(R_scr, e), eshift[e], Z)
-                P_scr[j] = p
+                P_scr[j] = sat_post(p) if sat_post is not None else p
 
         def latch(viol, it_minus_1):
             """Convergence bookkeeping for the posterior checked by `viol`.
@@ -319,16 +347,23 @@ def build_pallas_decoder(
             def one_iter(it):
                 for i in range(mb):
                     es = row_edges[i]
-                    qs = [
+                    qs_raw = [
                         _roll_to_check(P_scr[ecol[e]], eshift[e], Z)
                         - load_R(R_scr, e)
                         for e in es
                     ]
+                    # message saturation feeds the CN only; the posterior
+                    # update keeps the wide APP value (golden contract)
+                    qs = ([sat_msg(q) for q in qs_raw]
+                          if sat_msg is not None else qs_raw)
                     outs = cn_update(qs, f_alpha, f_beta)
-                    for e, q, r_new in zip(es, qs, outs):
-                        P_scr[ecol[e]] = _roll_to_var(
-                            q + r_new, eshift[e], Z
-                        )
+                    if qz is not None:
+                        outs = [qz(r) for r in outs]
+                    for e, q, r_new in zip(es, qs_raw, outs):
+                        p_new = q + r_new
+                        if sat_post is not None:
+                            p_new = sat_post(p_new)
+                        P_scr[ecol[e]] = _roll_to_var(p_new, eshift[e], Z)
                         store_R(R_scr, e, r_new)
                 if early_stop:
                     latch(syndrome_violations(P_scr), it)
@@ -552,7 +587,10 @@ def build_pallas_decoder(
     def decode_fn(llr):
         batch = llr.shape[0]
         padded = -(-batch // batch_tile) * batch_tile
-        x = llr.astype(dtype).T  # (n, batch)
+        x = llr.astype(dtype)
+        if qz is not None:
+            x = qz(x)  # channel-entry quantization (golden contract step 1)
+        x = x.T  # (n, batch)
         if padded != batch:
             # pad lanes with strong "zero codeword" LLRs: they converge
             # immediately and never hold the early exit back

@@ -43,6 +43,28 @@ def _phi_jnp(x):
     return -jnp.log(jnp.tanh(x * 0.5))
 
 
+def make_quantizers(bits: int, step: float, post_bits: int):
+    """(quantize, sat_msg, sat_post) jnp closures matching the golden
+    fixed-point contract (tpu_ldpc/golden/decoder.py) bit-exactly: the
+    same fp32 op sequence (abs, /step, +0.5, floor, min, sign*k*step),
+    with the saturation limits precomputed in fp32 on the host exactly
+    as golden's `saturate` computes them."""
+    m = float((1 << (bits - 1)) - 1)
+    step = float(step)
+
+    def quantize(x):
+        k = jnp.minimum(jnp.floor(jnp.abs(x) / step + 0.5), m)
+        # k==0 -> +0.0 (never -0.0): the Pallas kernel reads sign bits
+        return jnp.where(k == 0, 0.0, (jnp.sign(x) * k) * step)
+
+    def _sat(lim):
+        lim = float(np.float32(np.float32(lim) * np.float32(step)))
+        return lambda x: jnp.clip(x, -lim, lim)
+
+    return (quantize, _sat((1 << (bits - 1)) - 1),
+            _sat((1 << (post_bits - 1)) - 1))
+
+
 def _cn_minsum(qs, alpha, beta):
     """Two-min CN update matching the golden scan semantics.
 
@@ -113,19 +135,37 @@ def build_decoder(
     schedule: str = "flooding",
     early_stop: bool = True,
     dtype=jnp.float32,
+    quant_bits: int | None = None,
+    quant_step: float = 0.5,
+    quant_post_bits: int | None = None,
 ):
-    """Build a jitted jnp decoder: llr (batch, n) -> (bits, ok, iters_used)."""
+    """Build a jitted jnp decoder: llr (batch, n) -> (bits, ok, iters_used).
+
+    quant_bits/quant_step/quant_post_bits: fixed-point hardware-emulation
+    mode (min-sum only), bit-exact vs the golden quantized model — see the
+    quantization contract in tpu_ldpc/golden/decoder.py.
+    """
     if algo not in ("minsum", "sumproduct"):
         raise ValueError(f"unknown algo {algo!r}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
+    if quant_bits is not None and algo != "minsum":
+        raise ValueError("quantized decoding supports algo='minsum' only")
     edges, row_edges, col_edges = _block_structure(code)
     Z, nb, mb, k = code.Z, code.nb, code.mb, code.k
     E = len(edges)
+    qz = sat_msg = sat_post = None
+    if quant_bits is not None:
+        qz, sat_msg, sat_post = make_quantizers(
+            int(quant_bits), float(quant_step),
+            int(quant_post_bits) if quant_post_bits is not None
+            else int(quant_bits) + 2,
+        )
 
     def cn_update(qs):
         if algo == "minsum":
-            return _cn_minsum(qs, alpha, beta)
+            outs = _cn_minsum(qs, alpha, beta)
+            return [qz(o) for o in outs] if qz is not None else outs
         return _cn_sumproduct(qs)
 
     def flooding_iter(L, P, R):
@@ -136,7 +176,8 @@ def build_decoder(
             for e in row_edges[i]:
                 _, j, s = edges[e]
                 p_rot = jnp.roll(P[:, j, :], -s, axis=-1)
-                qs.append(p_rot - R[:, e, :])
+                q = p_rot - R[:, e, :]
+                qs.append(sat_msg(q) if sat_msg is not None else q)
             for e, r_out in zip(row_edges[i], cn_update(qs)):
                 R_new[e] = r_out
         R_new = jnp.stack(R_new, axis=1)
@@ -147,21 +188,28 @@ def build_decoder(
             for e in col_edges[j]:
                 _, _, s = edges[e]
                 p = p + jnp.roll(R_new[:, e, :], s, axis=-1)
-            cols.append(p)
+            cols.append(sat_post(p) if sat_post is not None else p)
         return jnp.stack(cols, axis=1), R_new
 
     def layered_iter(L, P, R):
         del L
         for i in range(mb):
-            qs = []
+            qs_raw, qs = [], []
             for e in row_edges[i]:
                 _, j, s = edges[e]
                 p_rot = jnp.roll(P[:, j, :], -s, axis=-1)
-                qs.append(p_rot - R[:, e, :])
+                q = p_rot - R[:, e, :]
+                qs_raw.append(q)
+                # message saturation feeds the CN only; the posterior
+                # update keeps the wide APP value (golden contract)
+                qs.append(sat_msg(q) if sat_msg is not None else q)
             outs = cn_update(qs)
-            for e, q, r_out in zip(row_edges[i], qs, outs):
+            for e, q, r_out in zip(row_edges[i], qs_raw, outs):
                 _, j, s = edges[e]
-                P = P.at[:, j, :].set(jnp.roll(q + r_out, s, axis=-1))
+                p_new = q + r_out
+                if sat_post is not None:
+                    p_new = sat_post(p_new)
+                P = P.at[:, j, :].set(jnp.roll(p_new, s, axis=-1))
                 R = R.at[:, e, :].set(r_out)
         return P, R
 
@@ -170,6 +218,8 @@ def build_decoder(
     @jax.jit
     def decode_fn(llr):
         llr = llr.astype(dtype)
+        if qz is not None:
+            llr = qz(llr)
         batch = llr.shape[0]
         L = llr.reshape(batch, nb, Z)
         P = L

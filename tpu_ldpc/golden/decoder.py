@@ -52,6 +52,55 @@ def _phi(x: np.ndarray) -> np.ndarray:
     return -np.log(np.tanh(x / 2.0))
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point quantization contract (hardware-emulation decode mode)
+#
+# Q_{b,s}(x) = sign(x) * min(floor(|x|/s + 0.5), 2^(b-1)-1) * s
+#
+# i.e. round-half-away-from-zero to the LSB grid `s`, symmetric saturation
+# at +/- (2^(b-1)-1)*s (no negative full scale — the sign-magnitude form
+# every hardware min-sum decoder uses).  Every operation (abs, divide by a
+# float, +0.5, floor, min, two multiplies, in THIS order) is a single
+# correctly-rounded fp32 op, so the golden / jnp / Pallas implementations
+# agree bit-exactly.  Where it is applied (the standard fixed-point
+# datapath model):
+#   1. channel LLRs on entry:           L  = Q_{b,s}(llr)
+#   2. VN->CN messages (saturation):    q  = sat_{b,s}(P - R)
+#   3. CN outputs (after alpha/beta):   R  = Q_{b,s}(cn_update(q))
+#   4. posterior (wider accumulator):   P  = sat_{bp,s}(L + sum R),
+#      bp = quant_post_bits (default b+2, the usual APP width).
+# Grid-valued sums/differences are exact in fp32 (integers * s with
+# |k| << 2^24), so 2. and 4. reduce to pure saturating clips.  In the
+# layered schedule, 2. applies to the CN input only — the in-place
+# posterior update uses the UNSATURATED difference (the wide-APP
+# datapath); clamping the posterior through the message range every row
+# sweep destroys it (measured: 2/128 vs 119/128 frames at 4 bits).
+# Q returns +0.0 (never -0.0) when the value rounds to zero.
+# Only algo='minsum' supports quantization (sum-product is table-domain
+# in hardware, a different datapath).
+# ---------------------------------------------------------------------------
+
+
+def quantize(x: np.ndarray, bits: int, step: float, dtype=np.float32):
+    """Q_{bits,step}(x) per the contract above (round + saturate)."""
+    dtype = np.dtype(dtype).type
+    x = np.asarray(x, dtype=dtype)
+    m = dtype((1 << (bits - 1)) - 1)
+    k = np.floor(np.abs(x) / dtype(step) + dtype(0.5))
+    k = np.minimum(k, m)
+    # canonicalize k==0 to +0.0: sign(x)*0 would yield -0.0 for x<0, and
+    # the Pallas kernel reads sign BITS (golden reads `< 0`) — a negative
+    # zero would silently break the cross-implementation contract.
+    return np.where(k == 0, dtype(0.0), (np.sign(x) * k) * dtype(step))
+
+
+def saturate(x: np.ndarray, bits: int, step: float, dtype=np.float32):
+    """Pure saturating clip to +/- (2^(bits-1)-1)*step (grid-valued input)."""
+    dtype = np.dtype(dtype).type
+    lim = dtype(dtype((1 << (bits - 1)) - 1) * dtype(step))
+    return np.clip(np.asarray(x, dtype=dtype), -lim, lim)
+
+
 class _Graph:
     """Padded slot structure of H's Tanner graph, edges sorted by (row, col)."""
 
@@ -91,7 +140,7 @@ def syndrome_ok(H, bits: np.ndarray) -> np.ndarray:
     return ~np.any(syn, axis=0)
 
 
-def _cn_pass(Q: np.ndarray, g: _Graph, algo: str, alpha, beta, dtype):
+def _cn_pass(Q: np.ndarray, g: _Graph, algo: str, alpha, beta, dtype, quant=None):
     """Vectorized CN update for all rows. Q: (E,) -> R_new: (E,)."""
     mag = np.abs(Q)
     sign = np.where(Q < 0, dtype(-1.0), dtype(1.0))
@@ -122,6 +171,8 @@ def _cn_pass(Q: np.ndarray, g: _Graph, algo: str, alpha, beta, dtype):
         tot = np.sum(ph, axis=1, keepdims=True)
         total_sign = np.prod(slot_sign, axis=1)
         out = (total_sign[:, None] * slot_sign) * _phi(tot - ph).astype(dtype)
+    if quant is not None:
+        out = quantize(out, quant[0], quant[1], dtype)
     R_new = np.empty(g.E, dtype=dtype)
     R_new[g.row_slots[g.row_mask]] = out[g.row_mask]
     return R_new
@@ -146,6 +197,9 @@ def decode(
     schedule: str = "flooding",
     dtype=np.float64,
     early_stop: bool = True,
+    quant_bits: int | None = None,
+    quant_step: float = 0.5,
+    quant_post_bits: int | None = None,
 ):
     """Decode a batch of LLR vectors with the golden BP decoder.
 
@@ -159,6 +213,9 @@ def decode(
       dtype: working precision (float64 default; float32 for bit-exact
         comparison against device kernels).
       early_stop: freeze converged codewords (sequential semantics).
+      quant_bits / quant_step / quant_post_bits: fixed-point emulation
+        mode (min-sum only) — see the module-level quantization contract.
+        None (default) = full floating point.
 
     Returns:
       bits: (batch, n) uint8 hard decisions.
@@ -169,6 +226,13 @@ def decode(
         raise ValueError(f"unknown schedule {schedule!r}")
     if algo not in ("minsum", "sumproduct"):
         raise ValueError(f"unknown algo {algo!r}")
+    quant = None
+    if quant_bits is not None:
+        if algo != "minsum":
+            raise ValueError("quantized decoding supports algo='minsum' only")
+        quant = (int(quant_bits), float(quant_step))
+        post = (int(quant_post_bits) if quant_post_bits is not None
+                else int(quant_bits) + 2, float(quant_step))
     dtype = np.dtype(dtype).type
     llr = np.asarray(llr, dtype=dtype)
     if llr.ndim == 1:
@@ -181,6 +245,9 @@ def decode(
     bits_out = np.zeros((batch, n), dtype=np.uint8)
     ok_out = np.zeros(batch, dtype=bool)
     iters_out = np.full(batch, iters, dtype=np.int32)
+
+    if quant is not None:
+        llr = quantize(llr, quant[0], quant[1], dtype)
 
     for b in range(batch):
         L = llr[b]
@@ -201,14 +268,26 @@ def decode(
         for it in range(1, iters + 1):
             if schedule == "flooding":
                 Q = P[g.cols] - R
-                R = _cn_pass(Q, g, algo, alpha, beta, dtype)
+                if quant is not None:
+                    Q = saturate(Q, quant[0], quant[1], dtype)
+                R = _cn_pass(Q, g, algo, alpha, beta, dtype, quant)
                 P = _vn_pass(L, R, g, dtype)
+                if quant is not None:
+                    P = saturate(P, post[0], post[1], dtype)
             else:  # layered: rows sequentially, posterior updated in place
                 for i in range(g.m):
                     e = g.row_slots[i][g.row_mask[i]]
-                    q = P[g.cols[e]] - R[e]
-                    r_new = _cn_update_row(q, algo, alpha, beta, dtype)
-                    P[g.cols[e]] = q + r_new
+                    q_raw = P[g.cols[e]] - R[e]
+                    # saturation applies to the CN *input* only; the
+                    # posterior keeps the wide APP value (q_raw), else the
+                    # message range clamps the posterior every row sweep
+                    q = (saturate(q_raw, quant[0], quant[1], dtype)
+                         if quant is not None else q_raw)
+                    r_new = _cn_update_row(q, algo, alpha, beta, dtype, quant)
+                    p_new = q_raw + r_new
+                    if quant is not None:
+                        p_new = saturate(p_new, post[0], post[1], dtype)
+                    P[g.cols[e]] = p_new
                     R[e] = r_new
             if early_stop and syn_ok(P):
                 bits_out[b], ok_out[b], iters_out[b] = hard(P), True, it
@@ -221,7 +300,8 @@ def decode(
     return bits_out, ok_out, iters_out
 
 
-def _cn_update_row(q: np.ndarray, algo: str, alpha, beta, dtype) -> np.ndarray:
+def _cn_update_row(q: np.ndarray, algo: str, alpha, beta, dtype,
+                   quant=None) -> np.ndarray:
     """Extrinsic CN->VN messages for one check row (layered path). q: (deg,)."""
     sign = np.where(q < 0, dtype(-1.0), dtype(1.0))
     mag = np.abs(q)
@@ -238,4 +318,7 @@ def _cn_update_row(q: np.ndarray, algo: str, alpha, beta, dtype) -> np.ndarray:
         ph = _phi(mag.astype(np.float64)).astype(dtype)
         tot = np.sum(ph)
         out = _phi((tot - ph).astype(np.float64)).astype(dtype)
-    return (total_sign * sign) * out
+    out = (total_sign * sign) * out
+    if quant is not None:
+        out = quantize(out, quant[0], quant[1], dtype)
+    return out

@@ -39,6 +39,11 @@ class DecodeCfg:
     # window width in block-rows; cfg.iters then counts iterations PER
     # WINDOW SLIDE, not total
     window: int = 8
+    # fixed-point hardware-emulation mode (min-sum only; golden contract
+    # in tpu_ldpc/golden/decoder.py): message bits / LSB step / APP bits
+    quant_bits: int | None = None
+    quant_step: float = 0.5
+    quant_post_bits: int | None = None
 
 
 COUNTER_FIELDS = (

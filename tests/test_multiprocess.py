@@ -21,8 +21,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(300)
 def test_two_process_psum():
+    # NOTE: no pytest-timeout in this env; the real guard is the
+    # communicate(timeout=240) below, which kills hung workers.
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
     repo_root = os.path.dirname(os.path.dirname(worker))

@@ -16,6 +16,19 @@ from tpu_ldpc.codes.code import LdpcCode
 def build_decode_fn(code: LdpcCode, cfg):
     """cfg: sim.mc.DecodeCfg (or anything with the same fields)."""
     impl = getattr(cfg, "impl", "auto")
+    # Quantization is only plumbed through the soft BP paths (minsum /
+    # sumproduct family, flooding / layered).  Hard-decision decoders and
+    # the windowed SC path ignore quant_* — reject rather than silently
+    # report float FER labeled as quantized (ADVICE r1, medium).
+    if getattr(cfg, "quant_bits", None) is not None and (
+        cfg.algo in ("bitflip", "wbf")
+        or getattr(cfg, "schedule", "flooding") == "windowed"
+    ):
+        raise ValueError(
+            "quant_bits is not supported for hard-decision algos or the "
+            "windowed schedule; it is only plumbed through the soft "
+            "flooding/layered BP paths"
+        )
     if cfg.algo in ("bitflip", "wbf"):
         # hard-decision decoders: integer-cheap, XLA-compiled jnp is
         # already at the memory floor (see decode/hard.py docstring)

@@ -48,9 +48,23 @@ def make_quantizers(bits: int, step: float, post_bits: int):
     fixed-point contract (tpu_ldpc/golden/decoder.py) bit-exactly: the
     same fp32 op sequence (abs, /step, +0.5, floor, min, sign*k*step),
     with the saturation limits precomputed in fp32 on the host exactly
-    as golden's `saturate` computes them."""
+    as golden's `saturate` computes them.
+
+    step MUST be a power of two: |x|/step is then an exact exponent
+    shift in fp32, so NumPy, XLA-CPU, and Mosaic-on-TPU (which may lower
+    f32 division via reciprocal approximation) all round identically
+    (ADVICE r1, low).  Enforced here and in golden.quantize.
+    """
     m = float((1 << (bits - 1)) - 1)
     step = float(step)
+    import math
+
+    if not (step > 0 and math.frexp(step)[0] == 0.5):
+        raise ValueError(
+            f"quant_step must be a power of two (got {step}): non-pow2 "
+            "steps make |x|/step rounding backend-dependent and break "
+            "the golden==jnp==Pallas bit-exact contract on real TPUs"
+        )
 
     def quantize(x):
         k = jnp.minimum(jnp.floor(jnp.abs(x) / step + 0.5), m)

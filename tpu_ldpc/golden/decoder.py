@@ -82,7 +82,17 @@ def _phi(x: np.ndarray) -> np.ndarray:
 
 
 def quantize(x: np.ndarray, bits: int, step: float, dtype=np.float32):
-    """Q_{bits,step}(x) per the contract above (round + saturate)."""
+    """Q_{bits,step}(x) per the contract above (round + saturate).
+
+    step must be a power of two: |x|/step is then an exact fp32
+    exponent shift, so every backend (NumPy / XLA-CPU / Mosaic, which
+    may lower division via reciprocal approximation) rounds the +0.5
+    identically.  Mirrors decode.reference.make_quantizers.
+    """
+    import math
+
+    if not (step > 0 and math.frexp(float(step))[0] == 0.5):
+        raise ValueError(f"quant step must be a power of two (got {step})")
     dtype = np.dtype(dtype).type
     x = np.asarray(x, dtype=dtype)
     m = dtype((1 << (bits - 1)) - 1)

@@ -5,7 +5,7 @@ resumable by construction: sweep state = {per-SNR committed counters,
 batch counter, config hash} written as JSON after every committed step.
 Because PRNG keys are folded from (seed, snr_idx, batch_ctr) — not a
 stream position — a resumed run is bit-identical to an uninterrupted
-one (asserted in tests/test_state.py).
+one (asserted in tests/test_aux.py::TestCheckpointResume).
 """
 
 from __future__ import annotations

@@ -1,0 +1,112 @@
+"""Tests for the judge-metric producers (VERDICT r1 weak #2: bench.py
+and cli/bench.py had zero coverage, and this surface broke once
+in-round).  CPU smoke only: schema, one-JSON-line contract, finite
+positive values.  Real-TPU numbers are the driver's job.
+"""
+
+import json
+import math
+import sys
+
+import numpy as np
+
+
+def _load_root_bench():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "bench.py")
+    spec = importlib.util.spec_from_file_location("root_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestRootBench:
+    def test_one_json_line_schema(self, capsys):
+        _load_root_bench().main()
+        out = capsys.readouterr()
+        lines = [ln for ln in out.out.splitlines() if ln.strip()]
+        assert len(lines) == 1, f"stdout must be ONE JSON line, got {lines}"
+        rec = json.loads(lines[0])
+        assert rec["metric"] == "minsum50_decoded_info_bits_per_s_per_chip"
+        assert rec["unit"] == "bits/s"
+        assert math.isfinite(rec["value"]) and rec["value"] > 0
+        assert math.isfinite(rec["vs_baseline"]) and rec["vs_baseline"] > 0
+        assert abs(rec["value"] / 1e9 - rec["vs_baseline"]) < 1e-3
+        # extras go to stderr as one JSON line
+        err_lines = [ln for ln in out.err.splitlines()
+                     if ln.startswith("{")]
+        extras = json.loads(err_lines[-1])
+        assert 0.0 <= extras["fer_at_2dB_full50"] <= 1.0
+        assert len(extras["dec_ms"]) == len(extras["gen_ms"]) >= 3
+
+
+class TestCliBench:
+    def test_json_record(self, capsys):
+        from tpu_ldpc.cli.bench import main
+
+        rec = main(["--batch", "128", "--iters", "8", "--reps", "8",
+                    "--json"])
+        out = capsys.readouterr().out.splitlines()
+        assert len(out) == 1
+        assert json.loads(out[0]) == rec
+        assert rec["n"] == 1024 and rec["k"] == 512
+        assert math.isfinite(rec["gbps"])
+        assert rec["ms_per_batch"] > 0
+
+
+class TestBenchCore:
+    def test_loop_timer_measures_real_work(self):
+        """The paired-delta estimator must attribute more time to a
+        heavier decoder (sanity that the subtraction is wired right)."""
+        import jax.numpy as jnp
+
+        from tpu_ldpc.benchcore import make_timer
+        from tpu_ldpc.codes import LdpcCode
+        from tpu_ldpc.decode.reference import build_decoder
+
+        code = LdpcCode.judged()
+        timer, u = make_timer(code, batch=64, inner=2)
+        assert u.shape == (64, code.k)
+        light = build_decoder(code, iters=2, early_stop=False)
+        heavy = build_decoder(code, iters=30, early_stop=False)
+        ml = timer.measure(light, reps=3)
+        mh = timer.measure(heavy, reps=3)
+        assert set(ml) == {"median_s", "best_s", "dec_ms", "gen_ms"}
+        assert all(t > 0 for t in ml["dec_ms"] + ml["gen_ms"])
+        # the 2-iter delta can go negative in estimator noise at this
+        # tiny CPU workload; the 30-iter one must be solidly positive
+        # and bigger
+        assert mh["median_s"] > ml["median_s"]
+        assert mh["median_s"] > 0
+        assert ml["best_s"] <= ml["median_s"]
+
+    def test_fresh_inputs_per_step(self):
+        """Each inner step must see a different input (cache-trap
+        guard): a decoder that fingerprints its input sees `inner`
+        distinct values."""
+        import jax.numpy as jnp
+
+        from tpu_ldpc.benchcore import LoopTimer
+
+        seen = []
+
+        def probe(llr):
+            # fingerprint: sum of first row (depends on the rotation)
+            seen.append(None)  # trace-time marker only
+            fp = jnp.sum(llr[0]).astype(jnp.int32)
+            bits = jnp.zeros(llr.shape, jnp.uint8)
+            ok = jnp.zeros(llr.shape[0], bool)
+            return bits, ok, fp[None].repeat(llr.shape[0])
+
+        x = np.ones((4, 256), np.float32)
+        timer = LoopTimer(x, scale=1.0, sig=1.0, inner=3)
+        import jax
+
+        loop = timer._make_loop(probe)
+        acc1 = int(loop(jax.random.key(1)))
+        acc2 = int(loop(jax.random.key(2)))
+        # different dispatch keys -> different noise -> different sums
+        assert acc1 != acc2

@@ -15,6 +15,8 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_cycle_counts_match_python(seed):
+    from tpu_ldpc.codes.base_graphs import _ace8_cost_py, _iter_8walks
+
     rng = np.random.default_rng(seed)
     B = make_base_graph(6, 12, 16, seed=seed).copy()
     # scramble some shifts to create cycles
@@ -22,6 +24,63 @@ def test_cycle_counts_match_python(seed):
     B[mask] = rng.integers(0, 16, mask.sum())
     assert _native.count_4cycles(B, 16) == _count_4cycles_py(B, 16)
     assert _native.count_6cycles(B, 16) == _count_6cycles_py(B, 16)
+    assert _native.count_8cycles_raw(B, 16) == sum(
+        1 for _ in _iter_8walks(B, 16)
+    )
+    assert abs(_native.ace8_cost(B, 16) - _ace8_cost_py(B, 16)) < 1e-9
+
+
+def test_8cycles_exact_vs_brute_force_lifted_graph():
+    """#lifted 8-cycles == Z * raw_tuples / 8 exactly, on tiny random QC
+    codes, against brute-force simple-cycle enumeration in the lifted
+    Tanner graph (validates the degenerate-pattern conditions:
+    repeated base rows/cols, doubly-wrapped 4-cycles)."""
+    from tpu_ldpc.codes.base_graphs import count_8cycles_raw
+    from tpu_ldpc.codes.expand import expand
+
+    def brute(H):
+        H = np.asarray(H)
+        m, _n = H.shape
+        chk = [np.nonzero(H[i])[0] for i in range(m)]
+        var = [np.nonzero(H[:, j])[0] for j in range(H.shape[1])]
+        cnt = 0
+        for c0 in range(m):
+            for v1 in chk[c0]:
+                for c1 in var[v1]:
+                    if c1 == c0:
+                        continue
+                    for v2 in chk[c1]:
+                        if v2 == v1:
+                            continue
+                        for c2 in var[v2]:
+                            if c2 in (c0, c1):
+                                continue
+                            for v3 in chk[c2]:
+                                if v3 in (v1, v2):
+                                    continue
+                                for c3 in var[v3]:
+                                    if c3 in (c0, c1, c2):
+                                        continue
+                                    for v4 in chk[c3]:
+                                        if v4 in (v1, v2, v3):
+                                            continue
+                                        if H[c0, v4]:
+                                            cnt += 1
+        return cnt // 8
+
+    rng = np.random.default_rng(7)
+    done = 0
+    for _ in range(8):
+        mb, nb = int(rng.integers(3, 5)), int(rng.integers(4, 6))
+        Z = int(rng.integers(2, 5))
+        B = np.where(rng.random((mb, nb)) < 0.7,
+                     rng.integers(0, Z, (mb, nb)), -1)
+        if (B >= 0).sum() < 6:
+            continue
+        H = expand(B, Z).toarray()
+        assert 8 * brute(H) == Z * count_8cycles_raw(B, Z)
+        done += 1
+    assert done >= 5
 
 
 def test_gf2_rank_matches_golden():

@@ -61,6 +61,10 @@ def _load():
     lib.qc_count_6cycles.restype = ctypes.c_longlong
     lib.qc_ace6_cost.argtypes = [i64p, ip, ip, ip, i64p]
     lib.qc_ace6_cost.restype = ctypes.c_double
+    lib.qc_count_8cycles_raw.argtypes = [i64p, ip, ip, ip]
+    lib.qc_count_8cycles_raw.restype = ctypes.c_longlong
+    lib.qc_ace8_cost.argtypes = [i64p, ip, ip, ip, i64p]
+    lib.qc_ace8_cost.restype = ctypes.c_double
     lib.gf2_rank.argtypes = [i8p, ip, ip]
     lib.gf2_rank.restype = ip
     lib.gf2_row_reduce.argtypes = [i8p, ip, ip, i8p]
@@ -99,6 +103,17 @@ def ace6_cost(B: np.ndarray, Z: int) -> float:
     B = np.ascontiguousarray(B, dtype=np.int64)
     colw = np.ascontiguousarray((B >= 0).sum(axis=0), dtype=np.int64)
     return float(lib.qc_ace6_cost(B, B.shape[0], B.shape[1], Z, colw))
+
+
+def count_8cycles_raw(B: np.ndarray, Z: int) -> int:
+    B = np.ascontiguousarray(B, dtype=np.int64)
+    return int(lib.qc_count_8cycles_raw(B, B.shape[0], B.shape[1], Z))
+
+
+def ace8_cost(B: np.ndarray, Z: int) -> float:
+    B = np.ascontiguousarray(B, dtype=np.int64)
+    colw = np.ascontiguousarray((B >= 0).sum(axis=0), dtype=np.int64)
+    return float(lib.qc_ace8_cost(B, B.shape[0], B.shape[1], Z, colw))
 
 
 def gf2_rank(M: np.ndarray) -> int:

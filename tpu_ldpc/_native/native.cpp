@@ -116,6 +116,107 @@ long long qc_count_6cycles(const long long* B, int mb, int nb, int Z) {
     return raw / 2;
 }
 
+}  // extern "C" — the walk enumerator below is a template (C++ linkage)
+
+// 8-cycle enumeration shared by qc_count_8cycles / qc_ace8_cost.
+//
+// A length-8 cycle in the LIFTED Tanner graph projects to a closed
+// non-backtracking base-graph walk r1-c1-r2-c2-r3-c3-r4-c4-r1 with
+//   * consecutive node distinctness (r_t != r_{t+1}, c_t != c_{t+1},
+//     cyclically) — non-backtracking,
+//   * total alternating shift sum == 0 mod Z (the walk closes), and
+//   * for the *non-consecutive* repeats the base graph allows at
+//     length 8 (r1==r3, r2==r4, c1==c3, c2==c4): the partial sums at
+//     the two visits must DIFFER mod Z, otherwise the two visits land
+//     on the same lifted node and the walk decomposes into shorter
+//     cycles instead of being one simple 8-cycle.
+// Each accepted base tuple lifts to exactly Z ordered lifted walks
+// (one per starting offset), and each simple lifted 8-cycle has
+// exactly 8 ordered walks, so
+//     #lifted 8-cycles == Z * (#tuples) / 8        (exact, verified
+// against brute-force lifted-graph counting in tests) — including the
+// doubly-wrapped 4-cycle patterns (r1==r3, r2==r4, c1==c3, c2==c4: a
+// base 4-cycle whose shift sum has order exactly 2 mod Z, traversed
+// twice), which produce 4 tuples and Z/2 lifted cycles.  visit() is
+// called once per accepted tuple; divide accumulated totals by 8 for
+// the per-base-pattern count (the same normalization as the 4-/6-cycle
+// counters: lifted count / Z).
+template <typename Visit>
+static void enumerate_8walks(const long long* B, int mb, int nb, int Z,
+                             Visit visit) {
+    std::vector<std::vector<int>> row_adj(mb), col_adj(nb);
+    for (int i = 0; i < mb; ++i)
+        for (int j = 0; j < nb; ++j)
+            if (B[(size_t)i * nb + j] >= 0) {
+                row_adj[i].push_back(j);
+                col_adj[j].push_back(i);
+            }
+    auto S = [&](int i, int j) { return B[(size_t)i * nb + j]; };
+    for (int r1 = 0; r1 < mb; ++r1)
+      for (int c1 : row_adj[r1])
+        for (int r2 : col_adj[c1]) {
+          if (r2 == r1) continue;
+          // p: partial alternating sums at each visited node (mod Z)
+          long long p2 = ((S(r1, c1) - S(r2, c1)) % Z + Z) % Z;
+          for (int c2 : row_adj[r2]) {
+            if (c2 == c1) continue;
+            long long p3 = (p2 + S(r2, c2)) % Z;
+            for (int r3 : col_adj[c2]) {
+              if (r3 == r2) continue;
+              long long p4 = ((p3 - S(r3, c2)) % Z + Z) % Z;
+              if (r3 == r1 && p4 == 0) continue;  // same lifted row node
+              for (int c3 : row_adj[r3]) {
+                if (c3 == c2) continue;
+                long long p5 = (p4 + S(r3, c3)) % Z;
+                if (c3 == c1 && p5 == (S(r1, c1) % Z)) continue;
+                for (int r4 : col_adj[c3]) {
+                  if (r4 == r3 || r4 == r1) continue;
+                  long long p6 = ((p5 - S(r4, c3)) % Z + Z) % Z;
+                  if (r4 == r2 && p6 == p2) continue;
+                  for (int c4 : row_adj[r4]) {
+                    if (c4 == c3 || c4 == c1) continue;
+                    if (S(r1, c4) < 0) continue;
+                    long long p7 = (p6 + S(r4, c4)) % Z;
+                    if (c4 == c2 && p7 == p3) continue;
+                    long long tot = ((p7 - S(r1, c4)) % Z + Z) % Z;
+                    if (tot != 0) continue;
+                    visit(c1, c2, c3, c4);
+                  }
+                }
+              }
+            }
+          }
+        }
+}
+
+extern "C" {
+
+// Raw accepted-tuple count: #lifted 8-cycles == Z * raw / 8 exactly.
+// Callers divide by 8 for the per-base-pattern count (may floor a
+// half-pattern from doubly-wrapped 4-cycles); use raw for existence.
+long long qc_count_8cycles_raw(const long long* B, int mb, int nb, int Z) {
+    long long raw = 0;
+    enumerate_8walks(B, mb, nb, Z,
+                     [&](int, int, int, int) { ++raw; });
+    return raw;
+}
+
+// ACE-weighted 8-cycle cost (same weighting family as qc_ace6_cost):
+// each 8-cycle contributes 2^-(sum of the 4 visited column degrees - 8),
+// so cycles confined to low-degree variable nodes dominate.  A repeated
+// base column is visited twice by distinct lifted nodes of equal degree
+// and contributes twice, as the ACE definition requires.
+double qc_ace8_cost(const long long* B, int mb, int nb, int Z,
+                    const long long* colw) {
+    double raw = 0.0;
+    enumerate_8walks(B, mb, nb, Z, [&](int c1, int c2, int c3, int c4) {
+        long long ace = colw[c1] + colw[c2] + colw[c3] + colw[c4] - 8;
+        if (ace > 40) ace = 40;
+        raw += std::ldexp(1.0, (int)-ace);
+    });
+    return raw / 8.0;
+}
+
 // ---------------------------------------------------------------------
 // Bit-packed GF(2) linear algebra (uint8 in/out, uint64 words inside)
 // ---------------------------------------------------------------------

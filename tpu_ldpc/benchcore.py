@@ -1,0 +1,126 @@
+"""Shared on-device throughput estimator (SURVEY.md C13, call stack §3.5).
+
+Used by the driver-facing `bench.py` and `cli/bench.py` so the judge
+metric's producer has exactly one implementation (and one test surface).
+
+Method — the only pattern measured to work in this environment:
+
+  * N decode calls run inside ONE device computation (`lax.fori_loop`),
+    minus a matched generation-only loop.  Host-side per-call timing is
+    unusable: the remote-TPU dispatch path has ~25 ms round trips and
+    caches repeated identical computations.
+  * Input freshness: a noise tensor is generated on-device once per
+    dispatch from the dispatch key; each inner step decodes a
+    row-rotated copy (`jnp.roll` by the step index).  No large buffer
+    recurs across dispatches (the remote runtime's computation cache
+    fires when large input buffers repeat — see BASELINE.md), and every
+    inner step's input differs.  Per-step cost is one O(batch*n)
+    memory-bound rotate instead of a full threefry normal generation,
+    which measured ~1.3 ms/step (~60% of the decode itself) with large
+    day-to-day variance that dominated the subtraction error of the
+    round-1 estimator.
+  * Decode and generation loops are timed interleaved, per-rep paired
+    deltas taken, and the MEDIAN delta reported (robust to tunnel
+    hiccups); the best delta is reported alongside for continuity with
+    round-1 numbers.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+class LoopTimer:
+    """Times decode functions against a shared generation-only baseline.
+
+    x: (batch, n) BPSK symbols (+-1) for the frames being decoded;
+    scale/sig: LLR scale 2/sigma^2 and noise sigma for the operating
+    point.  `inner` steps run per dispatch.
+    """
+
+    def __init__(self, x, scale: float, sig: float, inner: int = 20):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self.xj = jnp.asarray(np.asarray(x), jnp.float32)
+        self.scale = float(scale)
+        self.sig = float(sig)
+        self.inner = int(inner)
+        self._gen_loop = self._make_loop(None)
+
+    def _make_loop(self, dec):
+        jax = self._jax
+        import jax.numpy as jnp
+
+        xj, scale, sig, inner = self.xj, self.scale, self.sig, self.inner
+
+        @jax.jit
+        def many(key0):
+            noise0 = sig * jax.random.normal(key0, xj.shape, jnp.float32)
+
+            def body(i, acc):
+                llr = scale * (xj + jnp.roll(noise0, i, axis=0))
+                if dec is None:
+                    # full-tensor reduction so generation can't be DCE'd;
+                    # identical term exists in neither loop's decode path,
+                    # but is part of the subtracted baseline by symmetry
+                    # with round 1's estimator
+                    return acc + jnp.sum(llr).astype(jnp.int32)
+                bits, ok, iu = dec(llr)
+                # consume EVERY output: with early_stop=False, iu alone
+                # is data-independent and XLA dead-code-eliminates the
+                # whole jnp reference decode (measured: negative deltas
+                # on CPU).  The extra reductions are O(batch*n) int adds,
+                # noise next to 50 BP iterations.
+                return (acc + jnp.sum(iu)
+                        + jnp.sum(ok.astype(jnp.int32))
+                        + jnp.sum(bits.astype(jnp.int32)))
+
+            return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+
+        return many
+
+    def measure(self, dec, reps: int = 7) -> dict:
+        """Time `dec` (llr -> (bits, ok, iters_used)); returns per-batch
+        seconds: median/best of per-rep paired (decode - generation)
+        deltas, plus the raw per-rep times for the record."""
+        jax = self._jax
+        loop = self._make_loop(dec)
+        # compile + first-dispatch warmup for both loops
+        jax.block_until_ready(loop(jax.random.key(999)))
+        jax.block_until_ready(self._gen_loop(jax.random.key(998)))
+        dec_s, gen_s = [], []
+        for r in range(int(reps)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(jax.random.key(2 * r)))
+            dec_s.append((time.perf_counter() - t0) / self.inner)
+            t0 = time.perf_counter()
+            jax.block_until_ready(self._gen_loop(jax.random.key(2 * r + 1)))
+            gen_s.append((time.perf_counter() - t0) / self.inner)
+        deltas = [d - g for d, g in zip(dec_s, gen_s)]
+        return {
+            "median_s": float(np.median(deltas)),
+            "best_s": float(min(deltas)),
+            "dec_ms": [round(d * 1e3, 4) for d in dec_s],
+            "gen_ms": [round(g * 1e3, 4) for g in gen_s],
+        }
+
+
+def make_timer(code, batch: int, ebn0_db: float = 2.0, inner: int = 20,
+               seed: int = 0):
+    """LoopTimer over `batch` random encoded frames of `code` at the
+    given operating point; also returns the info bits u for FER checks."""
+    from tpu_ldpc.channel import noise_sigma2
+    from tpu_ldpc.golden import encode as golden_encode
+
+    rng = np.random.default_rng(seed)
+    sigma2 = noise_sigma2(ebn0_db, code.rate)
+    u = rng.integers(0, 2, (batch, code.k)).astype(np.uint8)
+    c = golden_encode(code.H, u)
+    x = (1.0 - 2.0 * c).astype(np.float32)
+    timer = LoopTimer(x, scale=2.0 / sigma2, sig=float(np.sqrt(sigma2)),
+                      inner=inner)
+    return timer, u

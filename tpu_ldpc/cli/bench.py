@@ -12,9 +12,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
-
-import numpy as np
 
 
 def bench_decode(
@@ -31,16 +28,8 @@ def bench_decode(
 ):
     """Time the decode path; returns (seconds/batch, info bits/s)."""
     import jax
-    import jax.numpy as jnp
 
-    from tpu_ldpc.channel import noise_sigma2
-    from tpu_ldpc.golden import encode as golden_encode
-
-    rng = np.random.default_rng(0)
-    sigma2 = noise_sigma2(ebn0_db, code.rate)
-    u = rng.integers(0, 2, (batch, code.k)).astype(np.uint8)
-    c = golden_encode(code.H, u)
-    x = 1.0 - 2.0 * c
+    from tpu_ldpc.benchcore import make_timer
 
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
@@ -60,46 +49,15 @@ def bench_decode(
             schedule=schedule, early_stop=early_stop,
         )
 
-    # On-device estimator, exactly bench.py's method: N fresh keyed LLR
-    # generations + decodes inside ONE device fori_loop, minus the
-    # generation-only loop.  This is the only pattern measured to defeat
-    # BOTH failure modes of this environment: per-call host timing (the
-    # ~25 ms dispatch round trip) and the remote runtime's computation
-    # cache, which fires whenever the large input buffers repeat — even
-    # salted cycled-buffer loops returned physically impossible times.
-    scale, sig = float(2.0 / sigma2), float(np.sqrt(sigma2))
-    xj = jnp.asarray(x.astype(np.float32))
-    inner = max(8, reps)
-
-    def gen(key):
-        return scale * (xj + sig * jax.random.normal(key, xj.shape,
-                                                     jnp.float32))
-
-    def make_loop(dec):
-        @jax.jit
-        def many(key0):
-            def body(i, acc):
-                llr = gen(jax.random.fold_in(key0, i))
-                if dec is None:
-                    return acc + jnp.sum(llr).astype(jnp.int32)
-                _, _, iu = dec(llr)
-                return acc + jnp.sum(iu)
-
-            return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
-
-        return many
-
-    def timed(dec, tries=3):
-        loop = make_loop(dec)
-        jax.block_until_ready(loop(jax.random.key(999)))
-        best = float("inf")
-        for r in range(tries):
-            t0 = time.perf_counter()
-            jax.block_until_ready(loop(jax.random.key(r)))
-            best = min(best, time.perf_counter() - t0)
-        return best / inner
-
-    dt = timed(fn) - timed(None)
+    # Shared estimator (tpu_ldpc/benchcore.py): on-device fori_loop over
+    # fresh per-step inputs, matched generation-only loop subtracted,
+    # interleaved reps, median of paired deltas — the only pattern
+    # measured to defeat both failure modes of this environment (the
+    # ~25 ms host dispatch round trip and the remote runtime's
+    # computation cache on recurring large input buffers).
+    timer, _u = make_timer(code, batch, ebn0_db=ebn0_db,
+                           inner=max(8, min(reps, 20)))
+    dt = timer.measure(fn, reps=5)["median_s"]
     return dt, batch * code.k / dt
 
 

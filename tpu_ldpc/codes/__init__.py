@@ -2,8 +2,11 @@
 
 from tpu_ldpc.codes.base_graphs import (  # noqa: F401
     FAMILY_LIFTS,
+    ace8_cost,
     count_4cycles,
     count_6cycles,
+    count_8cycles,
+    count_8cycles_raw,
     family_base_graph,
     girth_lower_bound,
     judged_base_graph,

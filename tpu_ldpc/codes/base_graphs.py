@@ -148,13 +148,105 @@ def _ace6_cost_py(B: np.ndarray, Z: int) -> float:
     return raw / 2.0
 
 
+def _iter_8walks(B: np.ndarray, Z: int):
+    """Yield (c1, c2, c3, c4) per accepted closed 8-walk tuple; the
+    Python mirror of _native/native.cpp's enumerate_8walks (see its
+    comment for the simple-cycle validity conditions: non-backtracking,
+    zero total alternating shift sum, and distinct lifted nodes at the
+    base-node repeats length 8 allows, and for the exact lifted-count
+    relation #lifted == Z * #tuples / 8)."""
+    mb, nb = B.shape
+    by_row, by_col = _entries(B)
+    for r1 in range(mb):
+        for c1 in by_row[r1]:
+            for r2 in by_col[c1]:
+                if r2 == r1:
+                    continue
+                p2 = (B[r1, c1] - B[r2, c1]) % Z
+                for c2 in by_row[r2]:
+                    if c2 == c1:
+                        continue
+                    p3 = (p2 + B[r2, c2]) % Z
+                    for r3 in by_col[c2]:
+                        if r3 == r2:
+                            continue
+                        p4 = (p3 - B[r3, c2]) % Z
+                        if r3 == r1 and p4 == 0:
+                            continue
+                        for c3 in by_row[r3]:
+                            if c3 == c2:
+                                continue
+                            p5 = (p4 + B[r3, c3]) % Z
+                            if c3 == c1 and p5 == B[r1, c1] % Z:
+                                continue
+                            for r4 in by_col[c3]:
+                                if r4 == r3 or r4 == r1:
+                                    continue
+                                p6 = (p5 - B[r4, c3]) % Z
+                                if r4 == r2 and p6 == p2:
+                                    continue
+                                for c4 in by_row[r4]:
+                                    if c4 == c3 or c4 == c1:
+                                        continue
+                                    if B[r1, c4] < 0:
+                                        continue
+                                    p7 = (p6 + B[r4, c4]) % Z
+                                    if c4 == c2 and p7 == p3:
+                                        continue
+                                    if (p7 - B[r1, c4]) % Z != 0:
+                                        continue
+                                    yield (c1, c2, c3, c4)
+
+
+def count_8cycles_raw(B: np.ndarray, Z: int) -> int:
+    """Raw accepted-tuple count: #lifted 8-cycles == Z * raw / 8 exactly
+    (brute-force-verified in tests/test_codes.py).  Use for existence
+    checks; count_8cycles divides by 8 for the per-base-pattern count."""
+    from tpu_ldpc import _native
+
+    if _native.lib is not None:
+        return _native.count_8cycles_raw(np.asarray(B), Z)
+    return sum(1 for _ in _iter_8walks(np.asarray(B), Z))
+
+
+def count_8cycles(B: np.ndarray, Z: int) -> int:
+    """Number of base-graph 8-cycle patterns (simple 8-cycles in the
+    lifted Tanner graph per base pattern == lifted count / Z, like the
+    4-/6-cycle counters; floors the half-pattern contributed by a
+    doubly-wrapped 4-cycle, so use count_8cycles_raw for existence)."""
+    return count_8cycles_raw(B, Z) // 8
+
+
+def ace8_cost(B: np.ndarray, Z: int) -> float:
+    """ACE-weighted 8-cycle cost (see ace6_cost): each 8-cycle weighs
+    2^-(sum of its 4 visited column degrees - 8); a repeated base column
+    is visited by two distinct lifted nodes and contributes twice."""
+    from tpu_ldpc import _native
+
+    if _native.lib is not None:
+        return _native.ace8_cost(np.asarray(B), Z)
+    return _ace8_cost_py(B, Z)
+
+
+def _ace8_cost_py(B: np.ndarray, Z: int) -> float:
+    B = np.asarray(B)
+    colw = (B >= 0).sum(axis=0)
+    raw = 0.0
+    for c1, c2, c3, c4 in _iter_8walks(B, Z):
+        ace = min(int(colw[c1] + colw[c2] + colw[c3] + colw[c4]) - 8, 40)
+        raw += 2.0 ** (-ace)
+    return raw / 8.0
+
+
 def girth_lower_bound(B: np.ndarray, Z: int) -> int:
-    """Girth from 4-/6-cycle checks: 4, 6, or 8 (8 == 'at least 8')."""
+    """Girth from 4-/6-/8-cycle checks: 4, 6, 8, or 10 ('at least 10')."""
     if count_4cycles(B, Z) > 0:
         return 4
     if count_6cycles(B, Z) > 0:
         return 6
-    return 8
+    if count_8cycles_raw(B, Z) > 0:
+        return 8
+    return 10
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,109 @@ def _prefix_suffix_excl_min(mags):
     return out
 
 
+def _normalize_offsets(lay):
+    """Per-block-row / per-block-column coordinate rotations (d, c)
+    maximizing the number of edges whose *effective* circulant shift
+    (s_e + d_i - c_j) % Z is zero — those edges need NO sublane roll in
+    either the CN gather or the VN scatter (2 fewer VPU ops per edge per
+    iteration; the §6 roofline shows the kernel is VPU-issue-bound).
+
+    On any Tanner cycle the alternating shift sum is a rotation
+    invariant, so in general at most a spanning tree's worth of edges
+    (mb + nb - 1) can be zeroed.  Search: random spanning-tree starts +
+    coordinate ascent (each node update is exact for its incident
+    edges, so the zero count is monotone), with the identity start
+    included — the result is never worse than the unnormalized layout
+    (which matters for dual-diagonal bases that already carry many
+    zero shifts).
+
+    This is pure coordinate relabeling: the kernel pre-rotates the
+    channel LLRs per column on entry and un-rotates the hard bits on
+    exit, so decode outputs are bit-exact vs the unnormalized kernel.
+    """
+    Z, mb, nb, E = lay.Z, lay.mb, lay.nb, lay.E
+    er = np.asarray(lay.edge_row, dtype=np.int64)
+    ec = np.asarray(lay.edge_col, dtype=np.int64)
+    es = np.asarray(lay.edge_shift, dtype=np.int64)
+    rows_of = [np.nonzero(er == i)[0] for i in range(mb)]
+    cols_of = [np.nonzero(ec == j)[0] for j in range(nb)]
+
+    def zeros(d, c):
+        return int(np.sum((es + d[er] - c[ec]) % Z == 0))
+
+    def ascend(d, c):
+        for _ in range(64):
+            changed = False
+            for i in range(mb):
+                edges = rows_of[i]
+                if len(edges) == 0:
+                    continue
+                cand = (c[ec[edges]] - es[edges]) % Z
+                vals, cnt = np.unique(cand, return_counts=True)
+                best = set(vals[cnt == cnt.max()])
+                if d[i] not in best:
+                    d[i] = int(min(best))
+                    changed = True
+            for j in range(nb):
+                edges = cols_of[j]
+                if len(edges) == 0:
+                    continue
+                cand = (es[edges] + d[er[edges]]) % Z
+                vals, cnt = np.unique(cand, return_counts=True)
+                best = set(vals[cnt == cnt.max()])
+                if c[j] not in best:
+                    c[j] = int(min(best))
+                    changed = True
+            if not changed:
+                break
+        return d, c
+
+    def tree_start(rng):
+        d = np.zeros(mb, np.int64)
+        c = np.zeros(nb, np.int64)
+        seen_r = np.zeros(mb, bool)
+        seen_c = np.zeros(nb, bool)
+        # DFS over the bipartite base graph with randomized edge order;
+        # tree edges get effective shift 0 by construction
+        adj_r = [rng.permutation(rows_of[i]) for i in range(mb)]
+        adj_c = [rng.permutation(cols_of[j]) for j in range(nb)]
+        for root in range(mb):
+            if seen_r[root]:
+                continue
+            seen_r[root] = True
+            stack = [("r", root)]
+            while stack:
+                kind, u = stack.pop()
+                if kind == "r":
+                    for e in adj_r[u]:
+                        j = ec[e]
+                        if not seen_c[j]:
+                            seen_c[j] = True
+                            c[j] = (d[u] + es[e]) % Z
+                            stack.append(("c", j))
+                else:
+                    for e in adj_c[u]:
+                        i = er[e]
+                        if not seen_r[i]:
+                            seen_r[i] = True
+                            d[i] = (c[u] - es[e]) % Z
+                            stack.append(("r", i))
+        return d, c
+
+    rng = np.random.default_rng(0)
+    best_d, best_c = ascend(np.zeros(mb, np.int64), np.zeros(nb, np.int64))
+    best_z = zeros(best_d, best_c)
+    for _ in range(12):
+        d, c = ascend(*tree_start(rng))
+        z = zeros(d, c)
+        if z > best_z:
+            best_d, best_c, best_z = d, c, z
+    return (
+        [int(x) % Z for x in best_d],
+        [int(x) % Z for x in best_c],
+    )
+
+
 def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
@@ -164,6 +267,8 @@ def build_pallas_decoder(
     early_stop: bool = True,
     batch_tile: int = DEFAULT_BATCH_TILE,
     exit_block: int = 5,
+    normalize: bool = True,
+    unroll: int = 1,
     interpret: bool | None = None,
     dtype=jnp.float32,
     msg_dtype=None,
@@ -211,7 +316,17 @@ def build_pallas_decoder(
         interpret = jax.default_backend() != "tpu"
 
     ecol = [int(c) for c in lay.edge_col]
-    eshift = [int(s) for s in lay.edge_shift]
+    if normalize:
+        row_off, col_off = _normalize_offsets(lay)
+    else:
+        row_off, col_off = [0] * mb, [0] * nb
+    # effective shifts after coordinate normalization (see
+    # _normalize_offsets); zero-shift edges compile to no roll at all
+    eshift = [
+        int(lay.edge_shift[e] + row_off[lay.edge_row[e]]
+            - col_off[lay.edge_col[e]]) % Z
+        for e in range(E)
+    ]
     row_edges = [lay.row_edges(i) for i in range(mb)]
     col_edges = [lay.col_edges(j) for j in range(nb)]
     n = lay.n
@@ -274,6 +389,9 @@ def build_pallas_decoder(
         return out
 
     def kernel(L_ref, bits_ref, ok_ref, iu_ref, P_scr, R_scr):
+        # L_ref arrives already in normalized variable coordinates (the
+        # per-column rotation happens XLA-side in decode_fn, so neither
+        # the init nor vn_pass pays any in-kernel roll for it)
         zero_msgs = jnp.zeros((Z, batch_tile), msg_dtype)
         for j in range(nb):
             P_scr[j] = L_ref[j]
@@ -378,9 +496,22 @@ def build_pallas_decoder(
         # all-done early exit at exit_block granularity: scalar reads of
         # the done mask stall the vector pipeline, so guard per block.
         # With early_stop off the mask never sets — skip the guard (and
-        # its scalar reductions) entirely and run one flat loop.
+        # its scalar reductions) entirely and run one flat loop, unrolled
+        # `unroll` iterations per trip (the body ignores `it` on this
+        # path, so unrolling is purely a scheduling lever).
         if not early_stop:
-            jax.lax.fori_loop(1, iters + 1, body, 0)
+            u = max(1, unroll)
+            n_trips, rem = divmod(iters, u)
+
+            def body_u(t, _):
+                for _k in range(u):
+                    one_iter(0)
+                return 0
+
+            if n_trips:
+                jax.lax.fori_loop(0, n_trips, body_u, 0)
+            for _k in range(rem):
+                one_iter(0)
         else:
             g = max(1, exit_block)
             n_blocks, rem = divmod(iters, g)
@@ -583,6 +714,22 @@ def build_pallas_decoder(
             pltpu.VMEM((E, Z, batch_tile), msg_dtype),
         ]
 
+    # XLA-side coordinate normalization (see _normalize_offsets): rotate
+    # each block-column's Z indices by col_off on entry, inverse on the
+    # decoded bits.  Fused into the transpose/pad prologue by XLA, paid
+    # once per decode — the per-iteration savings are the zero effective
+    # shifts inside the kernel.  Row offsets are kernel-internal (check
+    # coordinates never leave the kernel).
+    normalized = any(c != 0 for c in col_off)
+    if normalized:
+        _v = np.arange(Z)
+        fwd_idx = jnp.asarray(
+            np.stack([(_v + c) % Z for c in col_off])[:, :, None]
+        )  # (nb, Z, 1): x_norm[j, v'] = x[j, (v' + c_j) % Z]
+        inv_idx = jnp.asarray(
+            np.stack([(_v - c) % Z for c in col_off])[:, :, None]
+        )  # (nb, Z, 1): bits[j, v] = bits_norm[j, (v - c_j) % Z]
+
     @jax.jit
     def decode_fn(llr):
         batch = llr.shape[0]
@@ -597,6 +744,8 @@ def build_pallas_decoder(
             x = jnp.pad(x, ((0, 0), (0, padded - batch)),
                         constant_values=100.0)
         x = x.reshape(nb, Z, padded)
+        if normalized:
+            x = jnp.take_along_axis(x, fwd_idx, axis=1)
         num_tiles = padded // batch_tile
 
         bits, ok, iu = pl.pallas_call(
@@ -629,6 +778,8 @@ def build_pallas_decoder(
             interpret=interpret,
         )(x)
 
+        if normalized:
+            bits = jnp.take_along_axis(bits, inv_idx, axis=1)
         bits = bits.reshape(n, padded).T[:batch].astype(jnp.uint8)
         return bits, ok[0, :batch] > 0, iu[0, :batch]
 

@@ -93,6 +93,23 @@ def main():
         d = timer.measure(build(early_stop=True, algo="sumproduct"),
                           reps=3)["median_s"]
         extras["sumproduct_et_2dB_gbps"] = batch * code.k / d / 1e9
+        # two-phase straggler compaction (decode/twophase.py): same
+        # outputs as plain ET, without one slow lane pinning its whole
+        # 128-lane tile to the full iteration count
+        from tpu_ldpc.decode.twophase import build_twophase_decoder
+
+        for algo, key in (("minsum", "minsum_twophase_et_2dB_gbps"),
+                          ("sumproduct-fast",
+                           "spfast_twophase_et_2dB_gbps")):
+            tp = build_twophase_decoder(
+                code, iters=iters, phase1_iters=16, budget=512,
+                algo=algo, alpha=0.75,
+            )
+            d = timer.measure(tp, reps=3)["median_s"]
+            extras[key] = batch * code.k / d / 1e9
+        d = timer.measure(build(early_stop=True, algo="sumproduct-fast"),
+                          reps=3)["median_s"]
+        extras["spfast_et_2dB_gbps"] = batch * code.k / d / 1e9
     print(json.dumps(extras), file=sys.stderr)
 
     print(json.dumps({

@@ -1,0 +1,116 @@
+"""sumproduct-fast (lambda-min2 PWL SP approximation) and the two-phase
+straggler-compaction ET decoder (SURVEY.md C6/C9; VERDICT r1 next-#2).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_ldpc.channel import noise_sigma2
+from tpu_ldpc.codes import LdpcCode, make_base_graph
+from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
+from tpu_ldpc.decode.reference import build_decoder
+from tpu_ldpc.decode.twophase import build_twophase_decoder
+from tpu_ldpc.golden import decode as golden_decode
+from tpu_ldpc.golden import encode as golden_encode
+
+
+@pytest.fixture(scope="module")
+def small_code():
+    return LdpcCode.from_base_graph(make_base_graph(4, 8, 8, seed=3), 8)
+
+
+def _noisy_llrs(code, batch, ebn0_db, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 2, (batch, code.k)).astype(np.uint8)
+    c = golden_encode(code.H, u)
+    s2 = noise_sigma2(ebn0_db, code.rate)
+    llr = ((2 / s2) * ((1.0 - 2.0 * c)
+                       + np.sqrt(s2) * rng.normal(size=c.shape)))
+    return u, llr.astype(np.float32)
+
+
+class TestSumproductFast:
+    @pytest.mark.parametrize("schedule", ["flooding", "layered"])
+    def test_bitexact_golden_jnp_pallas(self, small_code, schedule):
+        rng = np.random.default_rng(1)
+        llr = rng.normal(0.5, 2.0, (32, small_code.n)).astype(np.float32) * 3
+
+        gb, gok, git = golden_decode(
+            small_code.H, llr, algo="sumproduct-fast", iters=12,
+            schedule=schedule, dtype=np.float32,
+        )
+        jf = build_decoder(small_code, algo="sumproduct-fast", iters=12,
+                           schedule=schedule)
+        jb, jok, jit_ = map(np.asarray, jf(llr))
+        pf = build_pallas_decoder(small_code, algo="sumproduct-fast",
+                                  iters=12, schedule=schedule,
+                                  interpret=True)
+        pb, pok, pit = map(np.asarray, pf(llr))
+        for a, b in ((gb, jb), (gok, jok), (git, jit_),
+                     (gb, pb), (gok, pok), (git, pit)):
+            assert np.array_equal(a, b)
+
+    def test_fer_between_minsum_and_sumproduct(self, small_code):
+        """Paired-noise FER ordering: SP <= SP-fast, SP-fast < minsum
+        by a margin (the point of the approximation)."""
+        u, llr = _noisy_llrs(small_code, 1024, 2.5, seed=2)
+        fers = {}
+        for algo in ("minsum", "sumproduct-fast", "sumproduct"):
+            f = build_decoder(small_code, algo=algo, iters=20)
+            b, ok, _ = map(np.asarray, f(llr))
+            fers[algo] = (b[:, : small_code.k] != u).any(axis=1).mean()
+        assert fers["sumproduct-fast"] <= fers["minsum"]
+        # within MC slack of exact SP on the same noise
+        assert fers["sumproduct-fast"] <= fers["sumproduct"] + 0.02
+
+    def test_ctilde_approximates_log1pexp(self):
+        from tpu_ldpc.golden.decoder import _ctilde
+
+        x = np.linspace(0.0, 8.0, 200).astype(np.float32)
+        exact = np.log1p(np.exp(-x.astype(np.float64)))
+        approx = _ctilde(x, np.float32).astype(np.float64)
+        assert np.max(np.abs(exact - approx)) < 0.05
+
+    def test_quant_rejected(self, small_code):
+        with pytest.raises(ValueError):
+            build_decoder(small_code, algo="sumproduct-fast", quant_bits=6)
+
+
+class TestTwoPhase:
+    def test_equals_single_pass(self, small_code):
+        _, llr = _noisy_llrs(small_code, 256, 3.0, seed=0)
+        ref = build_pallas_decoder(small_code, iters=25, early_stop=True,
+                                   interpret=True)
+        tp = build_twophase_decoder(small_code, iters=25, phase1_iters=5,
+                                    budget=128, interpret=True)
+        for a, b in zip(map(np.asarray, ref(llr)),
+                        map(np.asarray, tp(llr))):
+            assert np.array_equal(a, b)
+
+    def test_overflow_fallback_exact(self, small_code):
+        """More stragglers than the budget -> full-batch fallback, still
+        bit-identical."""
+        _, llr = _noisy_llrs(small_code, 256, 0.0, seed=1)
+        ref = build_pallas_decoder(small_code, iters=25, early_stop=True,
+                                   interpret=True)
+        tp = build_twophase_decoder(small_code, iters=25, phase1_iters=2,
+                                    budget=8, interpret=True)
+        # sanity: the overflow condition actually triggers
+        ok1 = np.asarray(build_pallas_decoder(
+            small_code, iters=2, early_stop=True, interpret=True)(llr)[1])
+        assert (~ok1).sum() > 8
+        for a, b in zip(map(np.asarray, ref(llr)),
+                        map(np.asarray, tp(llr))):
+            assert np.array_equal(a, b)
+
+    def test_spfast_twophase(self, small_code):
+        _, llr = _noisy_llrs(small_code, 256, 3.0, seed=4)
+        ref = build_pallas_decoder(small_code, algo="sumproduct-fast",
+                                   iters=25, early_stop=True,
+                                   interpret=True)
+        tp = build_twophase_decoder(small_code, iters=25, phase1_iters=5,
+                                    budget=128, algo="sumproduct-fast",
+                                    interpret=True)
+        for a, b in zip(map(np.asarray, ref(llr)),
+                        map(np.asarray, tp(llr))):
+            assert np.array_equal(a, b)

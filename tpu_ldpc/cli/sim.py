@@ -27,7 +27,7 @@ def build_parser():
     p.add_argument("--z", type=int)
     p.add_argument("--alist")
     p.add_argument("--ebn0", type=float, nargs="+")
-    p.add_argument("--algo", choices=["minsum", "sumproduct", "bitflip", "wbf"])
+    p.add_argument("--algo", choices=["minsum", "sumproduct", "sumproduct-fast", "bitflip", "wbf"])
     p.add_argument("--iters", type=int)
     p.add_argument("--alpha", type=float)
     p.add_argument("--beta", type=float)

@@ -238,6 +238,71 @@ def _phi(x):
     return -jnp.log(jnp.tanh(x * 0.5))
 
 
+def _ctilde_k(x):
+    # FMA-safe 3-segment PWL of log(1+e^-x): power-of-two slopes (see
+    # the sumproduct-fast contract in tpu_ldpc/golden/decoder.py)
+    return jnp.maximum(
+        jnp.maximum(
+            jnp.maximum(0.6931472 - 0.5 * x, 0.57 - 0.25 * x),
+            0.40 - 0.125 * x,
+        ),
+        0.0,
+    )
+
+
+def _fpair_k(a, b):
+    d1 = _ctilde_k(a + b)
+    d2 = _ctilde_k(jnp.abs(a - b))
+    return jnp.maximum(jnp.minimum(a, b) + (d1 - d2), 0.0)
+
+
+def _cn_sumproduct_fast_kernel(qs, alpha: float, beta: float):
+    """lambda-min2 PWL sum-product CN update, branchless sign-magnitude
+    form; bit-exact vs the golden sumproduct-fast contract (all ops are
+    exact-or-correctly-rounded fp32 min/max/add/mul — no transcendentals,
+    which is the whole point vs _cn_sumproduct_kernel)."""
+    del alpha, beta
+    d = len(qs)
+    mags = [jnp.abs(q) for q in qs]
+    sbits = [_i32(q) & SIGN_MASK for q in qs]
+    total = _xor_tree(sbits)
+    if d == 1:
+        outs_mag = [mags[0]]
+    elif d == 2:
+        outs_mag = [mags[1], mags[0]]
+    else:
+        # three-smallest scan with first-occurrence slot argmins (the
+        # values are pure multiset statistics; argmins only route which
+        # f-pair each edge reads)
+        big = jnp.full_like(mags[0], jnp.inf)
+        m1, m2, m3 = mags[0], big, big
+        a1 = jnp.zeros(mags[0].shape, jnp.int32)
+        a2 = jnp.full(mags[0].shape, -1, jnp.int32)
+        for t in range(1, d):
+            mt = mags[t]
+            lt1 = mt < m1
+            lt2 = jnp.logical_and(jnp.logical_not(lt1), mt < m2)
+            lt3 = jnp.logical_and(
+                jnp.logical_not(jnp.logical_or(lt1, lt2)), mt < m3
+            )
+            m3 = jnp.where(jnp.logical_or(lt1, lt2), m2,
+                           jnp.where(lt3, mt, m3))
+            m2 = jnp.where(lt1, m1, jnp.where(lt2, mt, m2))
+            a2 = jnp.where(lt1, a1, jnp.where(lt2, t, a2))
+            m1 = jnp.where(lt1, mt, m1)
+            a1 = jnp.where(lt1, t, a1)
+        f23 = _fpair_k(m2, m3)
+        f13 = _fpair_k(m1, m3)
+        f12 = _fpair_k(m1, m2)
+        outs_mag = [
+            jnp.where(a1 == t, f23, jnp.where(a2 == t, f13, f12))
+            for t in range(d)
+        ]
+    return [
+        _f32(_i32(outs_mag[e]) | (total ^ sbits[e])) for e in range(d)
+    ]
+
+
 def _cn_sumproduct_kernel(qs, alpha: float, beta: float):
     """Stable sign/phi sum-product CN update (matches golden within fp
     tolerance; transcendentals dominate, so no bit tricks here)."""
@@ -299,7 +364,7 @@ def build_pallas_decoder(
     VMEM budget (the decode.api dispatcher then falls back to the jnp
     reference decoder).
     """
-    if algo not in ("minsum", "sumproduct"):
+    if algo not in ("minsum", "sumproduct", "sumproduct-fast"):
         raise ValueError(f"unknown algo {algo!r}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
@@ -331,9 +396,11 @@ def build_pallas_decoder(
     col_edges = [lay.col_edges(j) for j in range(nb)]
     n = lay.n
     f_alpha, f_beta = float(alpha), float(beta)
-    cn_update = (
-        _cn_minsum_kernel if algo == "minsum" else _cn_sumproduct_kernel
-    )
+    cn_update = {
+        "minsum": _cn_minsum_kernel,
+        "sumproduct": _cn_sumproduct_kernel,
+        "sumproduct-fast": _cn_sumproduct_fast_kernel,
+    }[algo]
     if msg_dtype is None:
         msg_dtype = dtype
     quantized = msg_dtype != dtype

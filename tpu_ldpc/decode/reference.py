@@ -110,6 +110,63 @@ def _cn_minsum(qs, alpha, beta):
     return outs
 
 
+def _ctilde_jnp(x):
+    """3-segment PWL of log(1+e^-x) (max |err| < 0.032); FMA-safe: both slopes are powers of
+    two so the products are exact and fused/unfused lowering round
+    identically (the bit-exact contract in golden/decoder.py)."""
+    return jnp.maximum(
+        jnp.maximum(
+            jnp.maximum(0.6931472 - 0.5 * x, 0.57 - 0.25 * x),
+            0.40 - 0.125 * x,
+        ),
+        0.0,
+    )
+
+
+def _fpair_jnp(a, b):
+    d1 = _ctilde_jnp(a + b)
+    d2 = _ctilde_jnp(jnp.abs(a - b))
+    return jnp.maximum(jnp.minimum(a, b) + (d1 - d2), 0.0)
+
+
+def _cn_sumproduct_fast(qs):
+    """lambda-min2 PWL sum-product CN update; golden contract in
+    tpu_ldpc/golden/decoder.py (block above _ctilde)."""
+    d = len(qs)
+    mags = [jnp.abs(q) for q in qs]
+    sgns = [jnp.where(q < 0, -1.0, 1.0).astype(q.dtype) for q in qs]
+    total_sign = sgns[0]
+    for e in range(1, d):
+        total_sign = total_sign * sgns[e]
+    if d == 1:
+        outs_mag = [mags[0]]
+    elif d == 2:
+        outs_mag = [mags[1], mags[0]]
+    else:
+        big = jnp.full_like(mags[0], jnp.inf)
+        m1, m2, m3 = mags[0], big, big
+        a1 = jnp.zeros_like(mags[0], dtype=jnp.int32)
+        a2 = jnp.full_like(a1, -1)
+        for t in range(1, d):
+            mt = mags[t]
+            lt1 = mt < m1
+            lt2 = ~lt1 & (mt < m2)
+            lt3 = ~lt1 & ~lt2 & (mt < m3)
+            m3 = jnp.where(lt1 | lt2, m2, jnp.where(lt3, mt, m3))
+            m2 = jnp.where(lt1, m1, jnp.where(lt2, mt, m2))
+            a2 = jnp.where(lt1, a1, jnp.where(lt2, t, a2))
+            m1 = jnp.where(lt1, mt, m1)
+            a1 = jnp.where(lt1, t, a1)
+        f23 = _fpair_jnp(m2, m3)
+        f13 = _fpair_jnp(m1, m3)
+        f12 = _fpair_jnp(m1, m2)
+        outs_mag = [
+            jnp.where(a1 == t, f23, jnp.where(a2 == t, f13, f12))
+            for t in range(d)
+        ]
+    return [(total_sign * sgns[e]) * outs_mag[e] for e in range(d)]
+
+
 def _cn_sumproduct(qs):
     d = len(qs)
     mags = [jnp.abs(q) for q in qs]
@@ -159,7 +216,7 @@ def build_decoder(
     mode (min-sum only), bit-exact vs the golden quantized model — see the
     quantization contract in tpu_ldpc/golden/decoder.py.
     """
-    if algo not in ("minsum", "sumproduct"):
+    if algo not in ("minsum", "sumproduct", "sumproduct-fast"):
         raise ValueError(f"unknown algo {algo!r}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
@@ -180,6 +237,8 @@ def build_decoder(
         if algo == "minsum":
             outs = _cn_minsum(qs, alpha, beta)
             return [qz(o) for o in outs] if qz is not None else outs
+        if algo == "sumproduct-fast":
+            return _cn_sumproduct_fast(qs)
         return _cn_sumproduct(qs)
 
     def flooding_iter(L, P, R):

@@ -1,0 +1,93 @@
+"""Two-phase early-termination decode with straggler compaction.
+
+The fused ET kernel (decode/pallas_bp.py) exits a batch tile only when
+ALL of its 128 lanes converge, so at an operating point like FER 1e-2 a
+single stuck lane forces its whole tile through every iteration:
+P(some lane of 128 fails) ~ 72%, which is why plain ET measured barely
+faster than running all 50 iterations (BENCH_r01: 0.72 vs 0.98 Gb/s).
+
+Fix: decode in two phases.
+  1. ET decode with a SHORT iteration budget K on the full batch —
+     most lanes converge (mean iterations at the operating point is
+     well under K).
+  2. Gather the unconverged lanes (a small fraction) into a compacted
+     batch and ET-decode them from the channel LLRs with the FULL
+     iteration budget; scatter the results back.
+
+Because BP is deterministic, re-decoding a lane from scratch replays
+the identical trajectory, so phase 2's (bits, ok, iters_used) for a
+straggler are exactly what the single-pass ET decoder would have
+produced — the two-phase output is BIT-IDENTICAL to
+build_pallas_decoder(code, iters, early_stop=True) (asserted in
+tests/test_twophase.py).  The only waste is replaying K iterations for
+the ~few-% stragglers.
+
+The compaction budget is static (XLA needs static shapes); if more
+lanes than the budget fail phase 1 — a tail event at a sane operating
+point — a lax.cond falls back to ET-decoding the full batch with the
+full budget, preserving exactness unconditionally.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ldpc.codes.code import LdpcCode
+
+
+@functools.lru_cache(maxsize=32)
+def build_twophase_decoder(
+    code: LdpcCode,
+    iters: int = 50,
+    phase1_iters: int = 16,
+    budget: int = 512,
+    interpret: bool | None = None,
+    **decoder_kw,
+):
+    """Build a jitted two-phase ET decoder: llr (batch, n) ->
+    (bits, ok, iters_used), bit-identical to the single-pass ET decoder
+    with `iters` iterations.
+
+    phase1_iters: full-batch iteration budget K (choose a few sigma
+      above the operating point's mean convergence iteration).
+    budget: compacted phase-2 batch size (static); must be a multiple
+      of the kernel batch tile for efficiency.  The batch passed at
+      call time must be >= budget.
+    decoder_kw: algo/alpha/beta/schedule/... forwarded to
+      build_pallas_decoder (early_stop is forced True).
+    """
+    from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
+
+    decoder_kw = dict(decoder_kw, early_stop=True, interpret=interpret)
+    f1 = build_pallas_decoder(code, iters=int(phase1_iters), **decoder_kw)
+    f2 = build_pallas_decoder(code, iters=int(iters), **decoder_kw)
+    budget = int(budget)
+
+    @jax.jit
+    def decode_fn(llr):
+        batch = llr.shape[0]
+        bits1, ok1, iu1 = f1(llr)
+
+        def compacted(_):
+            # unconverged lanes first (stable: preserves lane order);
+            # converged lanes that pad out the budget decode to the
+            # same converged result, so the scatter is harmless
+            order = jnp.argsort(ok1.astype(jnp.int32), stable=True)
+            idx = order[:budget]
+            b2, ok2, iu2 = f2(llr[idx])
+            return (
+                bits1.at[idx].set(b2),
+                ok1.at[idx].set(ok2),
+                iu1.at[idx].set(iu2),
+            )
+
+        def full(_):
+            return f2(llr)
+
+        n_unconv = jnp.sum(~ok1)
+        return jax.lax.cond(n_unconv <= budget, compacted, full, None)
+
+    return decode_fn

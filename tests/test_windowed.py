@@ -98,6 +98,26 @@ def test_window_quality_monotone_in_width():
     assert e["wide"] < e["narrow"]  # widening visibly helps
 
 
+def test_sliding_window_decodes_random_codewords():
+    """Real encoded frames (general pivot encoder for the
+    rank-deficient terminated chain) through the sliding window: the
+    recovered bits equal the transmitted codeword (VERDICT r1 #5 — the
+    all-zero shortcut alone cannot catch encoder/decoder coordinate
+    mismatches)."""
+    from tpu_ldpc.encode.encoder import select_encoder
+
+    code = sc_code(L=16, Z=16, seed=1)
+    enc, k_true, _ = select_encoder(code)
+    rng = np.random.default_rng(2)
+    u = rng.integers(0, 2, (16, k_true)).astype(np.uint8)
+    c = np.asarray(enc(jnp.asarray(u)))
+    llr = awgn_llrs(jax.random.key(3), jnp.asarray(c), 6.0, code.rate)
+    win = build_windowed_decoder(code, window=6, iters_per_window=2)
+    bits, ok, _ = map(np.asarray, win(llr))
+    assert ok.mean() > 0.9
+    assert (bits[ok] == c[ok]).all()
+
+
 def test_window_validation():
     code = sc_code()
     with pytest.raises(ValueError):

@@ -13,8 +13,16 @@ import jax.numpy as jnp
 from tpu_ldpc.codes.code import LdpcCode
 
 
-def build_decode_fn(code: LdpcCode, cfg):
-    """cfg: sim.mc.DecodeCfg (or anything with the same fields)."""
+def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
+    """cfg: sim.mc.DecodeCfg (or anything with the same fields).
+
+    mesh: optional jax.sharding.Mesh with a `mesh_axis` axis.  When the
+    fused Pallas kernel rejects the code (message state over the VMEM
+    budget — very long blocklengths) and a mesh is given, the decode is
+    routed to the row-striped partitioned decoder (dist/partitioned.py)
+    instead of the single-device jnp fallback (SURVEY.md §5 long-context
+    row; VERDICT r1 missing #4).
+    """
     impl = getattr(cfg, "impl", "auto")
     # Quantization is only plumbed through the soft BP paths (minsum /
     # sumproduct family, flooding / layered).  Hard-decision decoders and
@@ -44,6 +52,26 @@ def build_decode_fn(code: LdpcCode, cfg):
             code, window=cfg.window, iters_per_window=cfg.iters,
             algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
         )
+    # Long-blocklength routing: when the code's message state exceeds
+    # the fused kernel's VMEM budget at the minimum batch tile and the
+    # caller provided a mesh, shard the Tanner graph over the mesh
+    # (row-striped partitioned decoder) instead of the slow
+    # single-device jnp fallback (SURVEY §5 long-context row).
+    if (
+        mesh is not None
+        and impl == "auto"
+        and getattr(cfg, "quant_bits", None) is None
+        and cfg.schedule == "flooding"
+    ):
+        from tpu_ldpc.decode.pallas_bp import VMEM_BUDGET_BYTES
+
+        if code.layout.vmem_bytes(128) > VMEM_BUDGET_BYTES:
+            from tpu_ldpc.dist.partitioned import build_partitioned_decoder
+
+            return build_partitioned_decoder(
+                code, mesh, algo=cfg.algo, iters=cfg.iters,
+                alpha=cfg.alpha, beta=cfg.beta, axis=mesh_axis,
+            )
     # 'auto' prefers the fused Pallas kernel on real TPU hardware; on CPU
     # backends it uses the XLA-compiled jnp reference decoder (Pallas
     # interpret mode is for tests, far too slow for simulation work).

@@ -5,6 +5,10 @@ long-context analog, M7).
 None of the judged configs need this (every registry code's message
 state fits one chip's VMEM), so this module is the documented scaling
 path plus a working shard_map prototype, tested on the fake CPU mesh.
+Codes whose message state the fused Pallas kernel rejects
+(decode/pallas_bp.py VMEM budget) are routed here automatically when
+the caller provides a mesh (decode/api.py), instead of falling back to
+the single-device jnp decoder.
 
 Two decompositions of one BP iteration:
 
@@ -17,17 +21,18 @@ Two decompositions of one BP iteration:
    the natural TP shape when the graph is wide but the posterior is
    small.  Syndrome violations ride the same psum.
 
-2. **Column-partitioned ring (design, for n beyond one chip).**  Block
-   columns are sharded; each device owns its columns' posterior and the
-   R messages of rows whose *leftmost* support it owns.  A CN pass needs
-   Q from the few non-local columns in its rows' support — for banded
-   base graphs (dual-diagonal parity plus localized info columns) that
-   support crosses only adjacent partitions, so each iteration exchanges
-   a halo of boundary block messages with `jax.lax.ppermute` ring steps
-   (the ring-attention communication shape over ICI), while the VN pass
-   stays fully local.  This is the path for codes whose state exceeds
-   VMEM/HBM on one chip; it ships as design + this module's stripe
-   infrastructure because no judged config exercises it.
+2. **Column-partitioned ring (dist/ring.py).**  Block columns sharded,
+   state fully local, two neighbor `ppermute` halo exchanges per
+   iteration — the ring-attention communication shape over ICI.  Exact
+   for banded base graphs (SC-LDPC chains); this row-striped path is
+   the general-H fallback.
+
+SPMD discipline (the lax.switch collective landmine, CLAUDE.md): each
+device's stripe does different *local* work (different edge sets), so
+only the local CN pass lives inside `lax.switch`; its outputs are
+padded to common shapes and BOTH collectives (`psum` of the partial
+posterior and of the violation count) issue at the top level of the
+loop body, where every device reaches them with the same channel ids.
 
 Determinism note: the psum reassociates the VN accumulation, so results
 are deterministic for a fixed mesh but not bit-exact vs the sequential
@@ -50,7 +55,11 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from tpu_ldpc.codes.code import LdpcCode
-from tpu_ldpc.decode.reference import _cn_minsum, _cn_sumproduct
+from tpu_ldpc.decode.reference import (
+    _cn_minsum,
+    _cn_sumproduct,
+    _cn_sumproduct_fast,
+)
 
 
 @functools.lru_cache(maxsize=16)
@@ -84,17 +93,30 @@ def build_partitioned_decoder(
         for d in range(n_dev)
     ]
     max_edges = max(len(s) for s in stripes)
-    cn_update = _cn_minsum if algo == "minsum" else _cn_sumproduct
+    if algo == "minsum":
+        def cn_update(qs):
+            return _cn_minsum(qs, alpha, beta)
+    elif algo == "sumproduct-fast":
+        cn_update = _cn_sumproduct_fast
+    elif algo == "sumproduct":
+        cn_update = _cn_sumproduct
+    else:
+        raise ValueError(f"unknown algo {algo!r}")
 
     def local_iteration(d, P_full, R_local, L):
-        """One flooding iteration for stripe d; returns (partial_P, R, viol)."""
+        """One local CN pass + scatter for stripe d.
+
+        R_local: (max_edges, Z, batch) padded stripe messages.
+        Returns (partial_P, R_new_padded, viol) — common shapes across
+        stripes so the collectives can issue OUTSIDE the stripe switch.
+        """
         edges = stripes[d]
         rows: dict[int, list[int]] = {}
         for idx, (_, _, _, i) in enumerate(edges):
             rows.setdefault(i, []).append(idx)
         partial = jnp.zeros_like(L)
         viol = jnp.zeros((1,) + L.shape[-1:], jnp.int32)
-        R_new = [None] * len(edges)
+        R_new = R_local
         for i, idxs in rows.items():
             qs, parity = [], None
             for idx in idxs:
@@ -105,13 +127,9 @@ def build_partitioned_decoder(
                 qs.append(t - R_local[idx])
             viol = viol + jnp.sum(parity.astype(jnp.int32), axis=0,
                                   keepdims=True)
-            if algo == "minsum":
-                outs = cn_update(qs, alpha, beta)
-            else:
-                outs = cn_update(qs)
-            for idx, r_new in zip(idxs, outs):
+            for idx, r_new in zip(idxs, cn_update(qs)):
                 _, j, s, _ = edges[idx]
-                R_new[idx] = r_new
+                R_new = R_new.at[idx].set(r_new)
                 partial = partial.at[j].add(jnp.roll(r_new, s, axis=0))
         return partial, R_new, viol
 
@@ -122,50 +140,46 @@ def build_partitioned_decoder(
         def device_fn(L):
             d = jax.lax.axis_index(axis)
 
-            def run_for_stripe(d_static):
-                edges = stripes[d_static]
-                R0 = [jnp.zeros((Z, batch), jnp.float32) for _ in edges]
-                P_full = L
-
-                def body(it, carry):
-                    P_full, R, done, iu = carry
-                    partial, R_new, viol_loc = local_iteration(
-                        d_static, P_full, R, L
-                    )
-                    viol = jax.lax.psum(viol_loc, axis)
-                    ok_now = (viol == 0)[0]
-                    newly = ok_now & ~done
-                    iu = jnp.where(newly, it - 1, iu)
-                    done = done | ok_now
-                    P_next = L + jax.lax.psum(partial, axis)
-                    keep = done[None, None, :]
-                    P_full = jnp.where(keep, P_full, P_next)
-                    R = [
-                        jnp.where(keep[0], r_old, r_new)
-                        for r_old, r_new in zip(R, R_new)
-                    ]
-                    return P_full, R, done, iu
-
-                done0 = jnp.zeros(batch, bool)
-                iu0 = jnp.full(batch, iters, jnp.int32)
-                P_full, R, done, iu = jax.lax.fori_loop(
-                    1, iters + 1, body, (P_full, R0, done0, iu0)
+            def local(P_full, R):
+                # stripe-specific LOCAL work only — no collectives in
+                # the branches (per-branch channel ids deadlock the
+                # mesh); outputs are common-shaped
+                return jax.lax.switch(
+                    d,
+                    [functools.partial(local_iteration, dd)
+                     for dd in range(n_dev)],
+                    P_full, R, L,
                 )
-                # final syndrome of the last posterior
-                _, _, viol_loc = local_iteration(d_static, P_full, R, L)
+
+            def body(it, carry):
+                P_full, R, done, iu = carry
+                partial, R_new, viol_loc = local(P_full, R)
+                # collectives at the top level of the loop body
                 viol = jax.lax.psum(viol_loc, axis)
+                P_next = L + jax.lax.psum(partial, axis)
                 ok_now = (viol == 0)[0]
                 newly = ok_now & ~done
-                iu = jnp.where(newly, iters, iu)
+                iu = jnp.where(newly, it - 1, iu)
                 done = done | ok_now
-                return P_full, done, iu
+                keep = done[None, None, :]
+                P_full = jnp.where(keep, P_full, P_next)
+                R = jnp.where(keep, R, R_new)
+                return P_full, R, done, iu
 
-            # static unroll over stripes via switch (stripe shapes differ)
-            outs = jax.lax.switch(
-                d, [functools.partial(run_for_stripe, dd)
-                    for dd in range(n_dev)]
+            R0 = jnp.zeros((max_edges, Z, batch), jnp.float32)
+            done0 = jnp.zeros(batch, bool)
+            iu0 = jnp.full(batch, iters, jnp.int32)
+            P_full, R, done, iu = jax.lax.fori_loop(
+                1, iters + 1, body, (L, R0, done0, iu0)
             )
-            return outs
+            # final syndrome of the last posterior
+            _, _, viol_loc = local(P_full, R)
+            viol = jax.lax.psum(viol_loc, axis)
+            ok_now = (viol == 0)[0]
+            newly = ok_now & ~done
+            iu = jnp.where(newly, iters, iu)
+            done = done | ok_now
+            return P_full, done, iu
 
         fn = shard_map(
             device_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),

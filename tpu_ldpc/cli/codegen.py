@@ -82,14 +82,17 @@ def main(argv=None):
 
     from tpu_ldpc.golden import gf2_rank
 
+    from tpu_ldpc.codes import count_8cycles, girth_lower_bound
+
     c4 = count_4cycles(code.B, code.Z)
     c6 = count_6cycles(code.B, code.Z)
+    c8 = count_8cycles(code.B, code.Z)
     rank = gf2_rank(np.asarray(code.H.todense()))
-    girth = 4 if c4 else (6 if c6 else 8)
+    girth = girth_lower_bound(code.B, code.Z)
     print(
         f"{code.name}: n={code.n} k={code.k} R={code.rate:.3f} "
         f"mb={code.mb} nb={code.nb} Z={code.Z} rank={rank}/{code.m} "
-        f"4-cycles={c4} 6-cycles={c6} girth>={girth}"
+        f"4-cycles={c4} 6-cycles={c6} 8-cycles={c8} girth>={girth}"
     )
     if rank != code.m:
         print("WARNING: H is rank-deficient")
@@ -107,7 +110,8 @@ def registry_report(path: str) -> None:
     """Construction-quality survey of every committed registry cell."""
     from tpu_ldpc.codes import LdpcCode
     from tpu_ldpc.codes.base_graphs import (
-        FAMILY_LIFTS, ace6_cost, count_4cycles, count_6cycles,
+        FAMILY_LIFTS, ace6_cost, ace8_cost, count_4cycles, count_6cycles,
+        count_8cycles, girth_lower_bound,
     )
     from tpu_ldpc.codes.pexit import pexit_threshold
 
@@ -121,24 +125,26 @@ def registry_report(path: str) -> None:
                 )
     for family, rate, Z, code in cells:
         B = np.asarray(code.B)
-        c4 = count_4cycles(B, Z)
         c6 = count_6cycles(B, Z)
-        girth = 4 if c4 else (6 if c6 else 8)
+        c8 = count_8cycles(B, Z)
+        girth = girth_lower_bound(B, Z)
         th = pexit_threshold(B >= 0, step=0.02)
         rows.append(
             f"| {code.name} | {code.n} | {code.k} | {code.rate:.3f} | {Z} "
-            f"| {th:.2f} | >={girth} | {c6} | {ace6_cost(B, Z):.3f} |"
+            f"| {th:.2f} | >={girth} | {c6} | {ace6_cost(B, Z):.3f} "
+            f"| {c8} | {ace8_cost(B, Z):.2f} |"
         )
         print(rows[-1])
     with open(path, "w") as f:
         f.write(
             "# Registry construction quality\n\n"
             "PEXIT threshold = Gaussian-approximation BP threshold of the "
-            "protograph (codes/pexit.py); girth from QC 4-/6-cycle "
-            "checks; ace6 = ACE-weighted 6-cycle cost (low = harmful "
-            "cycles avoided).\n\n"
+            "protograph (codes/pexit.py); girth from QC 4-/6-/8-cycle "
+            "checks; ace6/ace8 = ACE-weighted 6-/8-cycle costs (low = "
+            "harmful cycles avoided).\n\n"
             "| code | n | k | R | Z | PEXIT thr (dB) | girth | 6-cycles "
-            "| ace6 |\n|---|---|---|---|---|---|---|---|---|\n"
+            "| ace6 | 8-cycles | ace8 |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         f.write("\n".join(rows) + "\n")
     print(f"wrote {path}")

@@ -54,7 +54,11 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from tpu_ldpc.codes.code import LdpcCode
-from tpu_ldpc.decode.reference import _cn_minsum, _cn_sumproduct
+from tpu_ldpc.decode.reference import (
+    _cn_minsum,
+    _cn_sumproduct,
+    _cn_sumproduct_fast,
+)
 
 HALO_POSITIONS = 2  # coupling width of make_sc_base_graph
 COLS_PER_POSITION = 2
@@ -100,7 +104,11 @@ def build_ring_decoder(
             t = int(lay.edge_col[e]) // COLS_PER_POSITION
             if not (i - HALO_POSITIONS <= t <= i):
                 raise ValueError("base graph is not banded; ring invalid")
-    cn_update = _cn_minsum if algo == "minsum" else _cn_sumproduct
+    cn_update = {
+        "minsum": _cn_minsum,
+        "sumproduct": _cn_sumproduct,
+        "sumproduct-fast": _cn_sumproduct_fast,
+    }[algo]
 
     # per-device static structure: owned rows + their edges in
     # halo-extended local column coordinates (ext index = j - j0 + halo)

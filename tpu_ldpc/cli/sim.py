@@ -45,7 +45,7 @@ def build_parser():
                    help="block-columns to puncture (rate adaptation)")
     p.add_argument("--shorten-blocks", type=int, nargs="+", metavar="B",
                    help="info block-columns to shorten (rate adaptation)")
-    p.add_argument("--impl", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--impl", choices=["auto", "jnp", "pallas", "twophase"])
     p.add_argument("--batch", type=int)
     p.add_argument("--target-fe", type=int)
     p.add_argument("--max-frames", type=int)

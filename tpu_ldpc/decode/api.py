@@ -80,6 +80,21 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
         quant_step=getattr(cfg, "quant_step", 0.5),
         quant_post_bits=getattr(cfg, "quant_post_bits", None),
     )
+    if impl == "twophase":
+        # two-phase straggler-compaction ET (decode/twophase.py):
+        # bit-identical to the single-pass ET Pallas decoder, much
+        # faster at operating points where a few lanes per tile
+        # converge slowly.  Pallas-backed, so TPU (or interpret mode
+        # under tests).
+        from tpu_ldpc.decode.twophase import build_twophase_decoder
+
+        return build_twophase_decoder(
+            code, iters=cfg.iters,
+            phase1_iters=getattr(cfg, "phase1_iters", 16),
+            budget=getattr(cfg, "compact_budget", 512),
+            algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
+            schedule=cfg.schedule,
+        )
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
     )

@@ -34,7 +34,7 @@ class DecodeCfg:
     alpha: float = 0.75
     beta: float = 0.0
     schedule: str = "flooding"  # 'flooding' | 'layered' | 'windowed'
-    impl: str = "auto"  # 'auto' | 'jnp' | 'pallas'
+    impl: str = "auto"  # 'auto' | 'jnp' | 'pallas' | 'twophase'
     # schedule='windowed' only (SC-LDPC chains, decode/windowed.py):
     # window width in block-rows; cfg.iters then counts iterations PER
     # WINDOW SLIDE, not total

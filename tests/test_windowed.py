@@ -40,7 +40,8 @@ def test_banded_tables_shape_and_rejection():
         banded_tables(LdpcCode.judged())
 
 
-@pytest.mark.parametrize("algo", ["minsum", "sumproduct"])
+@pytest.mark.parametrize("algo", ["minsum", "sumproduct",
+                                  "sumproduct-fast"])
 def test_full_window_equals_reference_flooding(algo):
     """W = mb, one slide, I iterations == reference flooding-I."""
     code = sc_code(L=8, Z=8)

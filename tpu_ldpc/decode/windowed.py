@@ -99,7 +99,7 @@ def build_windowed_decoder(
     iters_used is the constant total (n_windows * iters_per_window) —
     windowed decoding has no global early-termination point.
     """
-    if algo not in ("minsum", "sumproduct"):
+    if algo not in ("minsum", "sumproduct", "sumproduct-fast"):
         raise ValueError(f"unknown algo {algo!r}")
     S_np, M_np = banded_tables(code)
     Z, nb, mb = code.Z, code.nb, code.mb
@@ -137,6 +137,37 @@ def build_windowed_decoder(
                 tot = tot + phis[e]
             outs = [(total_sign * sgns[e]) * phi(tot - phis[e])
                     for e in range(_DEG)]
+        elif algo == "sumproduct-fast":
+            # lambda-min2 PWL (golden contract in golden/decoder.py).
+            # ABSENT padding is exact here: f(x, ABSENT) == x in fp32
+            # (ctilde saturates to 0 long before 1e30), which also
+            # reproduces the golden deg-2 exact case; SC chains have
+            # min row degree 2, so the golden deg-1 convention is
+            # unreachable in this decoder.
+            from tpu_ldpc.decode.reference import _fpair_jnp
+
+            big = jnp.full_like(mags[0], jnp.inf)
+            m1, m2, m3 = mags[0], big, big
+            a1 = jnp.zeros_like(mags[0], dtype=jnp.int32)
+            a2 = jnp.full_like(a1, -1)
+            for t in range(1, _DEG):
+                mt = mags[t]
+                lt1 = mt < m1
+                lt2 = ~lt1 & (mt < m2)
+                lt3 = ~lt1 & ~lt2 & (mt < m3)
+                m3 = jnp.where(lt1 | lt2, m2, jnp.where(lt3, mt, m3))
+                m2 = jnp.where(lt1, m1, jnp.where(lt2, mt, m2))
+                a2 = jnp.where(lt1, a1, jnp.where(lt2, t, a2))
+                m1 = jnp.where(lt1, mt, m1)
+                a1 = jnp.where(lt1, t, a1)
+            f23 = _fpair_jnp(m2, m3)
+            f13 = _fpair_jnp(m1, m3)
+            f12 = _fpair_jnp(m1, m2)
+            outs = [
+                (total_sign * sgns[e]) * jnp.where(
+                    a1 == e, f23, jnp.where(a2 == e, f13, f12))
+                for e in range(_DEG)
+            ]
         else:
             big = jnp.full_like(mags[0], jnp.inf)
             min1, min2 = mags[0], big

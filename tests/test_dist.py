@@ -189,31 +189,32 @@ class TestPartitionedDecoder:
         from tpu_ldpc.golden import syndrome_ok
         from tpu_ldpc.sim.mc import DecodeCfg
 
+        # smallest chain the VMEM budget rejects (keeps the test fast)
         code = LdpcCode.from_base_graph(
-            make_sc_base_graph(64, 64, seed=0), 64, name="sc-l64-z64"
+            make_sc_base_graph(32, 64, seed=0), 64, name="sc-l32-z64"
         )
         assert code.layout.vmem_bytes(128) > VMEM_BUDGET_BYTES
         with pytest.raises(NotImplementedError):
             build_pallas_decoder(code, interpret=True)
 
         tp_mesh = make_mesh(jax.devices(), axis="tp")
-        cfg = DecodeCfg(algo="minsum", iters=10)
+        cfg = DecodeCfg(algo="minsum", iters=6)
         fn = build_decode_fn(code, cfg, mesh=tp_mesh)
         # routing check: build_decode_fn returned the (lru-cached)
         # partitioned decoder, not a jnp fallback
         assert fn is build_partitioned_decoder(
-            code, tp_mesh, algo="minsum", iters=10, alpha=cfg.alpha,
+            code, tp_mesh, algo="minsum", iters=6, alpha=cfg.alpha,
             beta=cfg.beta, axis="tp",
         )
         # all-zero codeword at high SNR through the sharded path
         rng = np.random.default_rng(5)
         sigma2 = 1.0 / (2 * code.rate * 10 ** (5.0 / 10))
         llr = ((2.0 / sigma2) * (1.0 + np.sqrt(sigma2)
-               * rng.normal(size=(8, code.n)))).astype(np.float32)
+               * rng.normal(size=(4, code.n)))).astype(np.float32)
         pb, pok, _ = map(np.asarray, fn(llr))
         assert syndrome_ok(code.H, pb)[pok].all()
         jb, jok, _ = map(
-            np.asarray, jnp_decode(code, llr, algo="minsum", iters=10)
+            np.asarray, jnp_decode(code, llr, algo="minsum", iters=6)
         )
         assert (pb == jb).all(axis=1).mean() >= 0.75
         assert (pok == jok).mean() >= 0.75

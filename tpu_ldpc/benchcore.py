@@ -10,15 +10,17 @@ Method — the only pattern measured to work in this environment:
     unusable: the remote-TPU dispatch path has ~25 ms round trips and
     caches repeated identical computations.
   * Input freshness: a noise tensor is generated on-device once per
-    dispatch from the dispatch key; each inner step decodes a
-    row-rotated copy (`jnp.roll` by the step index).  No large buffer
-    recurs across dispatches (the remote runtime's computation cache
-    fires when large input buffers repeat — see BASELINE.md), and every
-    inner step's input differs.  Per-step cost is one O(batch*n)
-    memory-bound rotate instead of a full threefry normal generation,
-    which measured ~1.3 ms/step (~60% of the decode itself) with large
-    day-to-day variance that dominated the subtraction error of the
-    round-1 estimator.
+    dispatch from the dispatch key; each inner step decodes
+    x + noise0 * a_i with a per-step scalar a_i near 1.  No large
+    buffer recurs across dispatches (the remote runtime's computation
+    cache fires when large input buffers repeat — see BASELINE.md),
+    and every inner step's input content differs.  Per-step cost is
+    one elementwise FMA pass instead of a full threefry normal
+    generation, which measured ~1.3 ms/step (~60% of the decode
+    itself) with large day-to-day variance that dominated the
+    subtraction error of the round-1 estimator.  (A traced jnp.roll
+    per step was tried in between: its dynamic-slice lowering still
+    cost ~1.3 ms/step on the TPU — artifacts/tpu_session_r2.json.)
   * Decode and generation loops are timed interleaved, per-rep paired
     deltas taken, and the MEDIAN delta reported (robust to tunnel
     hiccups); the best delta is reported alongside for continuity with
@@ -62,7 +64,11 @@ class LoopTimer:
             noise0 = sig * jax.random.normal(key0, xj.shape, jnp.float32)
 
             def body(i, acc):
-                llr = scale * (xj + jnp.roll(noise0, i, axis=0))
+                # fresh content per step at one FMA pass: noise scaled
+                # by a per-step factor within 2% of 1 (keeps ET
+                # iteration statistics realistic)
+                a_i = 1.0 + i.astype(jnp.float32) * (0.02 / inner)
+                llr = scale * (xj + noise0 * a_i)
                 if dec is None:
                     # full-tensor reduction so generation can't be DCE'd;
                     # identical term exists in neither loop's decode path,

@@ -370,21 +370,29 @@ def build_pallas_decoder(
         raise ValueError(f"unknown schedule {schedule!r}")
     lay = code.layout
     Z, mb, nb, E = lay.Z, lay.mb, lay.nb, lay.E
-    while batch_tile > 128 and lay.vmem_bytes(batch_tile) > VMEM_BUDGET_BYTES:
+
+    def state_bytes(bt):
+        # + one (nb, Z, bt) rotated-L scratch when normalization is on
+        # (flooding; see the kernel init)
+        extra = nb * Z * 4 * bt if (normalize and not compressed) else 0
+        return lay.vmem_bytes(bt) + extra
+
+    while batch_tile > 128 and state_bytes(batch_tile) > VMEM_BUDGET_BYTES:
         batch_tile //= 2
-    if lay.vmem_bytes(batch_tile) > VMEM_BUDGET_BYTES:
+    if state_bytes(batch_tile) > VMEM_BUDGET_BYTES:
         raise NotImplementedError(
-            f"{code.name}: decoder state {lay.vmem_bytes(batch_tile)} B "
+            f"{code.name}: decoder state {state_bytes(batch_tile)} B "
             f"exceeds VMEM budget at batch_tile={batch_tile}"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     ecol = [int(c) for c in lay.edge_col]
-    if normalize:
+    if normalize and not compressed:
         row_off, col_off = _normalize_offsets(lay)
     else:
         row_off, col_off = [0] * mb, [0] * nb
+    normalized_cols = any(c != 0 for c in col_off)
     # effective shifts after coordinate normalization (see
     # _normalize_offsets); zero-shift edges compile to no roll at all
     eshift = [
@@ -455,13 +463,21 @@ def build_pallas_decoder(
             out = out + v
         return out
 
-    def kernel(L_ref, bits_ref, ok_ref, iu_ref, P_scr, R_scr):
-        # L_ref arrives already in normalized variable coordinates (the
-        # per-column rotation happens XLA-side in decode_fn, so neither
-        # the init nor vn_pass pays any in-kernel roll for it)
+    def kernel(L_ref, bits_ref, ok_ref, iu_ref, P_scr, R_scr,
+               L_rot=None):
+        # Normalized variable coordinates: the per-column entry
+        # rotation happens ONCE here into the L_rot scratch (nb rolls
+        # per decode, amortized over all iterations — an XLA-side
+        # gather was measured to cost as much as the rolls it saved,
+        # artifacts/tpu_session_r2.json), and the decoded bits are
+        # un-rotated once on the way out.
         zero_msgs = jnp.zeros((Z, batch_tile), msg_dtype)
+        L = L_ref if L_rot is None else L_rot
         for j in range(nb):
-            P_scr[j] = L_ref[j]
+            v = _roll_to_check(L_ref[j], col_off[j], Z)
+            if L_rot is not None:
+                L_rot[j] = v
+            P_scr[j] = v
         for e in range(E):
             R_scr[e] = zero_msgs
 
@@ -500,7 +516,7 @@ def build_pallas_decoder(
             # sequential accumulation in ascending block-row order (the
             # golden contract fixes this order; chains are <= max col deg)
             for j in range(nb):
-                p = L_ref[j]
+                p = L[j]
                 for e in col_edges[j]:
                     p = p + _roll_to_var(load_R(R_scr, e), eshift[e], Z)
                 P_scr[j] = sat_post(p) if sat_post is not None else p
@@ -609,11 +625,25 @@ def build_pallas_decoder(
 
         done = ok_ref[0, :]
         for j in range(nb):
-            hard = (P_scr[j] < 0).astype(jnp.int8)
-            if early_stop:
-                bits_ref[j] = jnp.where(done == 1, bits_ref[j], hard)
+            if col_off[j] == 0:
+                hard = (P_scr[j] < 0).astype(jnp.int8)
+                if early_stop:
+                    bits_ref[j] = jnp.where(done == 1, bits_ref[j], hard)
+                else:
+                    bits_ref[j] = hard
             else:
-                bits_ref[j] = hard
+                # leave normalized coordinates: un-rotate in int32
+                # (int8 sublane rolls are unimplemented in Mosaic);
+                # int8 only at the VMEM boundary.  Latched bits in
+                # bits_ref are still rotated — merge first, roll once.
+                hard = (P_scr[j] < 0).astype(jnp.int32)
+                if early_stop:
+                    hard = jnp.where(
+                        done == 1, bits_ref[j].astype(jnp.int32), hard
+                    )
+                bits_ref[j] = _roll_to_var(hard, col_off[j], Z).astype(
+                    jnp.int8
+                )
 
     def kernel_compressed(L_ref, bits_ref, ok_ref, iu_ref,
                           P_scr, M1, M2, ARG, SGN):
@@ -780,22 +810,11 @@ def build_pallas_decoder(
             pltpu.VMEM((nb, Z, batch_tile), dtype),
             pltpu.VMEM((E, Z, batch_tile), msg_dtype),
         ]
-
-    # XLA-side coordinate normalization (see _normalize_offsets): rotate
-    # each block-column's Z indices by col_off on entry, inverse on the
-    # decoded bits.  Fused into the transpose/pad prologue by XLA, paid
-    # once per decode — the per-iteration savings are the zero effective
-    # shifts inside the kernel.  Row offsets are kernel-internal (check
-    # coordinates never leave the kernel).
-    normalized = any(c != 0 for c in col_off)
-    if normalized:
-        _v = np.arange(Z)
-        fwd_idx = jnp.asarray(
-            np.stack([(_v + c) % Z for c in col_off])[:, :, None]
-        )  # (nb, Z, 1): x_norm[j, v'] = x[j, (v' + c_j) % Z]
-        inv_idx = jnp.asarray(
-            np.stack([(_v - c) % Z for c in col_off])[:, :, None]
-        )  # (nb, Z, 1): bits[j, v] = bits_norm[j, (v - c_j) % Z]
+        if normalized_cols and schedule == "flooding":
+            # rotated channel LLRs, written once at init and re-read by
+            # every vn_pass (the layered schedule never re-reads L, so
+            # it skips the scratch and rotates straight into P)
+            scratches.append(pltpu.VMEM((nb, Z, batch_tile), dtype))
 
     @jax.jit
     def decode_fn(llr):
@@ -811,8 +830,6 @@ def build_pallas_decoder(
             x = jnp.pad(x, ((0, 0), (0, padded - batch)),
                         constant_values=100.0)
         x = x.reshape(nb, Z, padded)
-        if normalized:
-            x = jnp.take_along_axis(x, fwd_idx, axis=1)
         num_tiles = padded // batch_tile
 
         bits, ok, iu = pl.pallas_call(
@@ -845,8 +862,6 @@ def build_pallas_decoder(
             interpret=interpret,
         )(x)
 
-        if normalized:
-            bits = jnp.take_along_axis(bits, inv_idx, axis=1)
         bits = bits.reshape(n, padded).T[:batch].astype(jnp.uint8)
         return bits, ok[0, :batch] > 0, iu[0, :batch]
 

@@ -176,3 +176,66 @@ def test_sc_code_bitexact():
     fn = build_pallas_decoder(code, iters=12, interpret=True)
     pb, pok, pit = map(np.asarray, fn(llr))
     assert (pb == gb).all() and (pok == gok).all() and (pit == git).all()
+
+
+@pytest.mark.parametrize("early_stop", [True, False])
+def test_rescaled_bitexact(early_stop):
+    """min-sum-rescaled contract (golden/decoder.py decode() docstring):
+    kernel == golden rescaled on bits/ok/iters_used, and the rescaled
+    outputs match the STANDARD contract on this batch (the fp-rounding
+    differences the contract allows are statistically invisible)."""
+    code = toy_code()
+    llr, _ = noisy_llrs(code, 40, 3.0, seed=5)
+    gb, gok, git = golden_decode(
+        code.H, llr, algo="minsum", iters=17, alpha=0.75,
+        early_stop=early_stop, dtype=np.float32, rescaled=True,
+    )
+    fn = build_pallas_decoder(code, algo="minsum", iters=17, alpha=0.75,
+                              early_stop=early_stop, rescaled=True,
+                              interpret=True)
+    pb, pok, pit = map(np.asarray, fn(llr))
+    assert (pb == gb).all()
+    assert (pok == gok).all()
+    assert (pit == git).all()
+    sb, sok, sit = golden_decode(
+        code.H, llr, algo="minsum", iters=17, alpha=0.75,
+        early_stop=early_stop, dtype=np.float32,
+    )
+    assert (gb == sb).all(axis=1).mean() >= 0.97
+    assert (gok == sok).mean() >= 0.97
+
+
+def test_rescaled_judged_code_bitexact():
+    """Full-size judged code through the rescaled kernel (the bench.py
+    headline path): bit-exact vs golden rescaled at 50 iterations."""
+    code = LdpcCode.judged()
+    llr, _ = noisy_llrs(code, 8, 2.0, seed=17)
+    gb, gok, git = golden_decode(
+        code.H, llr, algo="minsum", iters=50, alpha=0.75,
+        early_stop=False, dtype=np.float32, rescaled=True,
+    )
+    fn = build_pallas_decoder(code, algo="minsum", iters=50, alpha=0.75,
+                              early_stop=False, rescaled=True,
+                              interpret=True)
+    pb, pok, _ = map(np.asarray, fn(llr))
+    assert (pb == gb).all()
+    assert (pok == gok).all()
+
+
+def test_rescaled_rejects_unsupported():
+    """The rescaled contract is flooding min-sum, beta=0, float only."""
+    code = toy_code()
+    for kw in (
+        dict(algo="sumproduct"),
+        dict(schedule="layered"),
+        dict(beta=0.1),
+        dict(compressed=True),
+        dict(quant_bits=6),
+        dict(iters=300),
+    ):
+        with pytest.raises(ValueError):
+            build_pallas_decoder(code, rescaled=True, interpret=True,
+                                 **{"iters": 10, **kw})
+    with pytest.raises(ValueError):
+        golden_decode(code.H, np.zeros((1, code.n), np.float32),
+                      algo="minsum", schedule="layered", rescaled=True)

@@ -64,11 +64,20 @@ class LoopTimer:
             noise0 = sig * jax.random.normal(key0, xj.shape, jnp.float32)
 
             def body(i, acc):
-                # fresh content per step at one FMA pass: noise scaled
-                # by a per-step factor within 2% of 1 (keeps ET
-                # iteration statistics realistic)
+                # fresh content per step at one multiply pass: the whole
+                # received signal (x + noise) scaled by a per-step factor
+                # near 1.  Scaling LLRs uniformly leaves min-sum decode
+                # trajectories EXACTLY invariant (sign/min/compare are
+                # scale-homogeneous), so early-termination statistics
+                # stay bit-realistic for the operating point while the
+                # input buffer content differs every step (cache-bust).
+                # LANDMINE (measured): scaling the NOISE only lowers the
+                # effective SNR by up to 0.17 dB — min-sum stragglers
+                # after twophase phase 1 then overflow the compaction
+                # budget and every step pays the full-batch fallback
+                # (0.58 vs 1.2 Gb/s).
                 a_i = 1.0 + i.astype(jnp.float32) * (0.02 / inner)
-                llr = scale * (xj + noise0 * a_i)
+                llr = (scale * a_i) * (xj + noise0)
                 if dec is None:
                     # full-tensor reduction so generation can't be DCE'd;
                     # identical term exists in neither loop's decode path,

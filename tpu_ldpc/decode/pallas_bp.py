@@ -334,6 +334,7 @@ def build_pallas_decoder(
     exit_block: int = 5,
     normalize: bool = True,
     unroll: int = 1,
+    rescaled: bool = False,
     interpret: bool | None = None,
     dtype=jnp.float32,
     msg_dtype=None,
@@ -368,13 +369,24 @@ def build_pallas_decoder(
         raise ValueError(f"unknown algo {algo!r}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
+    if rescaled and (
+        algo != "minsum" or schedule != "flooding" or beta != 0.0
+        or compressed or quant_bits is not None or iters > 200
+        or (msg_dtype is not None and msg_dtype != dtype)
+    ):
+        raise ValueError(
+            "rescaled decoding requires algo='minsum', schedule='flooding',"
+            " beta=0, full-precision messages, no quantization and"
+            " iters <= 200"
+        )
     lay = code.layout
     Z, mb, nb, E = lay.Z, lay.mb, lay.nb, lay.E
 
     def state_bytes(bt):
-        # + one (nb, Z, bt) rotated-L scratch when normalization is on
-        # (flooding; see the kernel init)
-        extra = nb * Z * 4 * bt if (normalize and not compressed) else 0
+        # + one (nb, Z, bt) rotated/rescaled-L scratch when normalization
+        # or rescaling is on (flooding; see the kernel init)
+        extra = (nb * Z * 4 * bt
+                 if ((normalize or rescaled) and not compressed) else 0)
         return lay.vmem_bytes(bt) + extra
 
     while batch_tile > 128 and state_bytes(batch_tile) > VMEM_BUDGET_BYTES:
@@ -404,6 +416,14 @@ def build_pallas_decoder(
     col_edges = [lay.col_edges(j) for j in range(nb)]
     n = lay.n
     f_alpha, f_beta = float(alpha), float(beta)
+    # rescaled contract (golden/decoder.py decode() docstring): CN runs
+    # with alpha=1 (no per-edge multiply); the scaled-L scratch is
+    # multiplied in place by the constant 1/alpha once per iteration
+    # (nb constant vector multiplies replace E per-edge multiplies —
+    # a scalar-carried scale was measured SLOWER: the SREG broadcast
+    # serializes against the vector pipeline).
+    k_alpha = 1.0 if rescaled else f_alpha
+    inv_alpha = float(np.float32(1.0) / np.float32(alpha))
     cn_update = {
         "minsum": _cn_minsum_kernel,
         "sumproduct": _cn_sumproduct_kernel,
@@ -463,14 +483,18 @@ def build_pallas_decoder(
             out = out + v
         return out
 
-    def kernel(L_ref, bits_ref, ok_ref, iu_ref, P_scr, R_scr,
-               L_rot=None):
+    # mutable L copy: needed to amortize the normalization rotation, and
+    # by the rescaled contract (the scaled-L scratch mutates per iter)
+    has_lrot = (normalized_cols or rescaled) and schedule == "flooding"
+
+    def kernel(L_ref, bits_ref, ok_ref, iu_ref, P_scr, R_scr, *extra):
         # Normalized variable coordinates: the per-column entry
         # rotation happens ONCE here into the L_rot scratch (nb rolls
         # per decode, amortized over all iterations — an XLA-side
         # gather was measured to cost as much as the rolls it saved,
         # artifacts/tpu_session_r2.json), and the decoded bits are
         # un-rotated once on the way out.
+        L_rot = extra[0] if has_lrot else None
         zero_msgs = jnp.zeros((Z, batch_tile), msg_dtype)
         L = L_ref if L_rot is None else L_rot
         for j in range(nb):
@@ -503,7 +527,7 @@ def build_pallas_decoder(
                 qs = [t - load_R(R_scr, e) for t, e in zip(ts, es)]
                 if sat_msg is not None:
                     qs = [sat_msg(q) for q in qs]
-                for e, r_new in zip(es, cn_update(qs, f_alpha, f_beta)):
+                for e, r_new in zip(es, cn_update(qs, k_alpha, f_beta)):
                     store_R(R_scr, e, qz(r_new) if qz is not None else r_new)
             if not early_stop:
                 return None
@@ -516,7 +540,13 @@ def build_pallas_decoder(
             # sequential accumulation in ascending block-row order (the
             # golden contract fixes this order; chains are <= max col deg)
             for j in range(nb):
-                p = L[j]
+                if rescaled:
+                    # advance the per-iteration unit scale in place
+                    # (exactly one VN pass runs per flooding iteration)
+                    p = L[j] * inv_alpha
+                    L[j] = p
+                else:
+                    p = L[j]
                 for e in col_edges[j]:
                     p = p + _roll_to_var(load_R(R_scr, e), eshift[e], Z)
                 P_scr[j] = sat_post(p) if sat_post is not None else p
@@ -810,10 +840,11 @@ def build_pallas_decoder(
             pltpu.VMEM((nb, Z, batch_tile), dtype),
             pltpu.VMEM((E, Z, batch_tile), msg_dtype),
         ]
-        if normalized_cols and schedule == "flooding":
-            # rotated channel LLRs, written once at init and re-read by
-            # every vn_pass (the layered schedule never re-reads L, so
-            # it skips the scratch and rotates straight into P)
+        if has_lrot:
+            # rotated (and, under the rescaled contract, per-iteration
+            # rescaled) channel LLRs: written at init, re-read by every
+            # vn_pass (the layered schedule never re-reads L, so it
+            # skips the scratch and rotates straight into P)
             scratches.append(pltpu.VMEM((nb, Z, batch_tile), dtype))
 
     @jax.jit

@@ -291,6 +291,7 @@ def decode(
     quant_bits: int | None = None,
     quant_step: float = 0.5,
     quant_post_bits: int | None = None,
+    rescaled: bool = False,
 ):
     """Decode a batch of LLR vectors with the golden BP decoder.
 
@@ -310,6 +311,27 @@ def decode(
       quant_bits / quant_step / quant_post_bits: fixed-point emulation
         mode (min-sum only) — see the module-level quantization contract.
         None (default) = full floating point.
+      rescaled: normalized min-sum computed in per-iteration units
+        alpha^-k (min-sum-rescaled contract).  min/abs/compare are
+        homogeneous under positive scaling, so in EXACT arithmetic this
+        is identical to standard normalized min-sum — but it removes the
+        per-edge alpha multiply from the CN update (the measured VPU
+        issue-rate bottleneck of the fused TPU kernel, DESIGN.md §8):
+          inv      = dtype(1)/dtype(alpha)       # rounded once
+          Ls_0     = L
+          iter k:    Ls_k = dtype(Ls_{k-1} * inv)  # elementwise
+          CN:        R'_k = cn_update(q', alpha=1) # NO alpha multiply
+          VN:        P'_k = Ls_k + sum R'_k
+        (E per-edge multiplies per iteration become nb per-column
+        multiplies by a constant.)  Hard decisions, syndrome checks and
+        iters_used are sign-based and signs are scale-invariant, so
+        outputs agree with the standard contract up to fp-rounding
+        differences (statistically invisible: see tests/test_pallas.py
+        and artifacts/rescaled_fer.json).  Bit-exactness holds WITHIN
+        the rescaled contract: this golden path == Pallas rescaled
+        kernel.  Flooding min-sum with beta=0 and no quantization only;
+        magnitudes grow by alpha^-iters, so iters is capped at 200
+        (alpha=0.75: scale 1e25, far inside fp32 range).
 
     Returns:
       bits: (batch, n) uint8 hard decisions.
@@ -320,6 +342,14 @@ def decode(
         raise ValueError(f"unknown schedule {schedule!r}")
     if algo not in ("minsum", "sumproduct", "sumproduct-fast"):
         raise ValueError(f"unknown algo {algo!r}")
+    if rescaled and (
+        algo != "minsum" or schedule != "flooding" or beta != 0.0
+        or quant_bits is not None or iters > 200
+    ):
+        raise ValueError(
+            "rescaled decoding requires algo='minsum', schedule='flooding',"
+            " beta=0, no quantization and iters <= 200"
+        )
     quant = None
     if quant_bits is not None:
         if algo != "minsum":
@@ -359,13 +389,21 @@ def decode(
             continue
 
         converged = False
+        inv = dtype(dtype(1.0) / dtype(alpha))
+        Ls = L.copy()
         for it in range(1, iters + 1):
             if schedule == "flooding":
                 Q = P[g.cols] - R
                 if quant is not None:
                     Q = saturate(Q, quant[0], quant[1], dtype)
-                R = _cn_pass(Q, g, algo, alpha, beta, dtype, quant)
-                P = _vn_pass(L, R, g, dtype)
+                if rescaled:
+                    # per-iteration unit change: alpha^-it (see docstring)
+                    R = _cn_pass(Q, g, algo, 1.0, 0.0, dtype, None)
+                    Ls = (Ls * inv).astype(dtype)
+                    P = _vn_pass(Ls, R, g, dtype)
+                else:
+                    R = _cn_pass(Q, g, algo, alpha, beta, dtype, quant)
+                    P = _vn_pass(L, R, g, dtype)
                 if quant is not None:
                     P = saturate(P, post[0], post[1], dtype)
             else:  # layered: rows sequentially, posterior updated in place

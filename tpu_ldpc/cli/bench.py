@@ -55,9 +55,27 @@ def bench_decode(
     # measured to defeat both failure modes of this environment (the
     # ~25 ms host dispatch round trip and the remote runtime's
     # computation cache on recurring large input buffers).
-    timer, _u = make_timer(code, batch, ebn0_db=ebn0_db,
-                           inner=max(8, min(reps, 20)))
+    # inner=60 on the remote TPU: the dispatch-RTT jitter share of the
+    # paired delta drops from ~15% to ~1-2% (BASELINE.md r2 session);
+    # on CPU keep the loop short — the decode itself is the cost there.
+    inner = (60 if jax.default_backend() == "tpu"
+             else max(2, min(reps, 8)))
+    timer, _u = make_timer(code, batch, ebn0_db=ebn0_db, inner=inner)
     dt = timer.measure(fn, reps=5)["median_s"]
+    if dt <= 0:
+        # below estimator resolution (documented small-batch regime,
+        # BASELINE.md): the paired-delta jitter exceeds the decode
+        # itself.  Refuse to print a nonsense number.
+        import sys
+
+        print(
+            f"warning: measured delta {dt*1e3:.4f} ms/batch is not "
+            "positive — decode is below the estimator's resolution at "
+            f"batch={batch}, iters given; use a larger batch/iters "
+            "(>=2k codewords is the trustworthy regime)",
+            file=sys.stderr,
+        )
+        return float("nan"), float("nan")
     return dt, batch * code.k / dt
 
 

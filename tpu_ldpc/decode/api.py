@@ -66,6 +66,18 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
         from tpu_ldpc.decode.pallas_bp import VMEM_BUDGET_BYTES
 
         if code.layout.vmem_bytes(128) > VMEM_BUDGET_BYTES:
+            # banded codes (SC-LDPC chains etc.) prefer the ring: state
+            # fully sharded, O(1) neighbor comms per iteration; the
+            # row-striped partitioned decoder is the general fallback
+            from tpu_ldpc.dist.ring import build_ring_decoder
+
+            try:
+                return build_ring_decoder(
+                    code, mesh, algo=cfg.algo, iters=cfg.iters,
+                    alpha=cfg.alpha, beta=cfg.beta, axis=mesh_axis,
+                )
+            except ValueError:
+                pass
             from tpu_ldpc.dist.partitioned import build_partitioned_decoder
 
             return build_partitioned_decoder(

@@ -2,21 +2,28 @@
 (SURVEY.md §5 "long-context analog", §2.2 SP/CP row; design sketched in
 dist/partitioned.py's module docstring, realized here).
 
-Block-columns are sharded contiguously over a 'code' mesh axis.  For a
-BANDED base graph (spatially-coupled LDPC, codes/base_graphs.py::
-make_sc_base_graph: row i's support spans coupling positions i-2..i
-only) every check row can be updated from its own device's columns plus
-a fixed-width halo from the LEFT neighbor, and every column's posterior
-from its own rows plus boundary contributions from the RIGHT neighbor.
-One BP iteration therefore costs exactly two neighbor `ppermute` steps
-— the ring-attention communication shape over ICI — independent of
-code length:
+Block-columns are sharded contiguously over a 'code' mesh axis.  For
+ANY banded base graph — each check row's block-column support spans at
+most `halo+1` consecutive block-columns, where `halo` is measured from
+the layout (max over rows of cmax−cmin); spatially-coupled chains from
+make_sc_base_graph are the canonical instance but any coupling width /
+columns-per-position qualifies — every check row is assigned to the
+device owning its RIGHTMOST block-column, so it can be updated from
+that device's columns plus a `halo`-wide window from the LEFT
+neighbor, and every column's posterior from its own rows plus boundary
+contributions returned by the RIGHT neighbor.  One BP iteration
+therefore costs exactly two neighbor `ppermute` steps — the
+ring-attention communication shape over ICI — independent of code
+length:
 
-    halo:    P[last 2 positions]  --ppermute-->  right neighbor
+    halo:    P[last `halo` block-cols]  --ppermute-->  right neighbor
     (local CN pass over owned rows; local scatter)
-    return:  contributions to the left neighbor's last 2 positions
+    return:  contributions to the left neighbor's last `halo` cols
              --ppermute-->  left neighbor
     (posterior = channel + local scatter + returned scatter)
+
+Single-hop requirement: halo <= block-cols per device (a row's window
+may not span more than one neighbor shard); rejected otherwise.
 
 Message state R never leaves its device: sharding the columns shards
 the O(E·Z·batch) memory, which is the whole point — this is the path
@@ -60,10 +67,6 @@ from tpu_ldpc.decode.reference import (
     _cn_sumproduct_fast,
 )
 
-HALO_POSITIONS = 2  # coupling width of make_sc_base_graph
-COLS_PER_POSITION = 2
-
-
 @functools.lru_cache(maxsize=16)
 def build_ring_decoder(
     code: LdpcCode,
@@ -74,36 +77,45 @@ def build_ring_decoder(
     beta: float = 0.0,
     axis: str = "code",
 ):
-    """Ring decoder for banded (SC-LDPC) codes:
+    """Ring decoder for banded QC codes (SC-LDPC chains of any coupling
+    width, or any base graph whose rows have narrow column support):
     llr (batch, n) -> (bits, ok, iters_used).
 
-    Requires: base graph from make_sc_base_graph (mb = L+2, nb = 2L,
-    row i touching only positions i-2..i), and L divisible by the mesh
-    axis size.
+    Requires: nb divisible by the mesh axis size, and the measured band
+    width (max over rows of cmax-cmin block-columns) at most the
+    per-device column count (single-hop neighbor halo).
     """
     lay = code.layout
     Z, mb, nb = lay.Z, lay.mb, lay.nb
-    L = nb // COLS_PER_POSITION
-    if mb != L + HALO_POSITIONS:
-        raise ValueError("not an SC-LDPC base (expect mb == nb/2 + 2)")
     n_dev = mesh.shape[axis]
-    if L % n_dev:
-        raise ValueError(f"L={L} not divisible by {n_dev} devices")
-    ppd = L // n_dev                       # positions per device
-    if ppd < HALO_POSITIONS:
+    if nb % n_dev:
         raise ValueError(
-            f"need >= {HALO_POSITIONS} coupling positions per device "
-            f"(L={L}, {n_dev} devices gives {ppd}): a single-hop "
-            "neighbor halo cannot span multiple shards"
+            f"nb={nb} block-columns not divisible by {n_dev} devices"
         )
-    cpd = ppd * COLS_PER_POSITION          # block-cols per device
-    halo = HALO_POSITIONS * COLS_PER_POSITION
-    # bandedness check: row i only touches block-cols of positions i-2..i
+    cpd = nb // n_dev                      # block-cols per device
+    # measured band: each row's support width, and its owner device
+    # (the device holding its rightmost block-column)
+    row_cols = {}
     for i in range(mb):
-        for e in lay.row_edges(i):
-            t = int(lay.edge_col[e]) // COLS_PER_POSITION
-            if not (i - HALO_POSITIONS <= t <= i):
-                raise ValueError("base graph is not banded; ring invalid")
+        es = lay.row_edges(i)
+        if es:
+            cols = [int(lay.edge_col[e]) for e in es]
+            row_cols[i] = (min(cols), max(cols))
+    # needed halo is OWNER-aligned: each row reads back from its owner's
+    # first column (j0) to its leftmost column, not its full raw span
+    owner = {i: cmax // cpd for i, (_, cmax) in row_cols.items()}
+    halo = max((owner[i] * cpd - cmin
+                for i, (cmin, _) in row_cols.items()), default=0)
+    # halo=0 (block-diagonal base) would make the `P_loc[-halo:]` slice
+    # degenerate (-0 == whole array); one spare column costs nothing
+    halo = max(halo, 1)
+    if halo > cpd:
+        raise ValueError(
+            f"band width {halo} exceeds the {cpd} block-cols per device "
+            f"(nb={nb}, {n_dev} devices): a single-hop neighbor halo "
+            "cannot span multiple shards — use fewer devices or the "
+            "row-striped partitioned decoder"
+        )
     cn_update = {
         "minsum": _cn_minsum,
         "sumproduct": _cn_sumproduct,
@@ -113,10 +125,7 @@ def build_ring_decoder(
     # per-device static structure: owned rows + their edges in
     # halo-extended local column coordinates (ext index = j - j0 + halo)
     def device_rows(d):
-        rows = list(range(d * ppd, (d + 1) * ppd))
-        if d == n_dev - 1:
-            rows += [L, L + 1]
-        return rows
+        return [i for i in row_cols if owner[i] == d]
 
     dev_edges = []
     for d in range(n_dev):

@@ -239,3 +239,26 @@ def test_rescaled_rejects_unsupported():
     with pytest.raises(ValueError):
         golden_decode(code.H, np.zeros((1, code.n), np.float32),
                       algo="minsum", schedule="layered", rescaled=True)
+
+
+def test_rescaled_extreme_magnitude_stress():
+    """The rescaled contract grows magnitudes by alpha^-k (~1e15 at
+    iters=120): adversarially large finite LLRs through the full
+    allowed iteration range stay bit-exact vs golden (no overflow, no
+    precision surprise beyond the contract's own rounding)."""
+    code = toy_code()
+    rng = np.random.default_rng(3)
+    llr = (rng.choice([-60.0, -1e-3, 1e-3, 60.0], size=(16, code.n))
+           * rng.uniform(0.5, 1.0, size=(16, code.n))).astype(np.float32)
+    gb, gok, git = golden_decode(
+        code.H, llr, algo="minsum", iters=120, alpha=0.75,
+        early_stop=True, dtype=np.float32, rescaled=True,
+    )
+    assert np.isfinite(gb).all()
+    fn = build_pallas_decoder(code, algo="minsum", iters=120, alpha=0.75,
+                              early_stop=True, rescaled=True,
+                              interpret=True)
+    pb, pok, pit = map(np.asarray, fn(llr))
+    assert (pb == gb).all()
+    assert (pok == gok).all()
+    assert (pit == git).all()

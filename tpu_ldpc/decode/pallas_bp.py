@@ -500,7 +500,13 @@ def build_pallas_decoder(
         for j in range(nb):
             v = _roll_to_check(L_ref[j], col_off[j], Z)
             if L_rot is not None:
-                L_rot[j] = v
+                # rescaled: the scratch holds the NEXT iteration's scaled
+                # L (alpha^-1 at init).  The multiply feeds ONLY a store:
+                # a product consumed by an add can be FMA-fused by the
+                # backend (unrounded product), silently breaking the
+                # bit-exact contract vs golden's rounded multiply —
+                # observed at iteration ~110 on adversarial LLRs.
+                L_rot[j] = v * inv_alpha if rescaled else v
             P_scr[j] = v
         for e in range(E):
             R_scr[e] = zero_msgs
@@ -540,13 +546,14 @@ def build_pallas_decoder(
             # sequential accumulation in ascending block-row order (the
             # golden contract fixes this order; chains are <= max col deg)
             for j in range(nb):
+                p = L[j]
                 if rescaled:
-                    # advance the per-iteration unit scale in place
-                    # (exactly one VN pass runs per flooding iteration)
-                    p = L[j] * inv_alpha
-                    L[j] = p
-                else:
-                    p = L[j]
+                    # L holds this iteration's scale already (see init);
+                    # advance it for the NEXT iteration with a multiply
+                    # whose result feeds ONLY the store — an add-consumed
+                    # product is FMA-fusable (unrounded) on some
+                    # backends, which breaks golden bit-exactness
+                    L[j] = p * inv_alpha
                 for e in col_edges[j]:
                     p = p + _roll_to_var(load_R(R_scr, e), eshift[e], Z)
                 P_scr[j] = sat_post(p) if sat_post is not None else p

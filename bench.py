@@ -69,6 +69,17 @@ def main():
     m = min(meas, key=lambda r: r["median_s"])
     thpt = batch * code.k / m["median_s"]
 
+    # The driver metric goes out FIRST — the supplementary sweep below
+    # re-compiles ~7 decoder variants (minutes under a slow tunnel or a
+    # loaded host); if the driver times bench.py out mid-extras, the
+    # capture must already be on stdout.
+    print(json.dumps({
+        "metric": "minsum50_decoded_info_bits_per_s_per_chip",
+        "value": round(thpt, 0),
+        "unit": "bits/s",
+        "vs_baseline": round(thpt / 1e9, 4),
+    }), flush=True)
+
     # correctness sanity at the operating point: one real-noise decode
     sigma2 = noise_sigma2(ebn0_db, code.rate)
     key = jax.random.key(0)
@@ -92,6 +103,14 @@ def main():
         "dec_ms": m["dec_ms"],
         "gen_ms": m["gen_ms"],
     }
+    try:
+        _extras_sweep(on_tpu, extras, timer, build, code, batch, iters)
+    except Exception as e:  # extras must never cost the capture
+        extras["extras_error"] = repr(e)
+    print(json.dumps(extras), file=sys.stderr)
+
+
+def _extras_sweep(on_tpu, extras, timer, build, code, batch, iters):
     if on_tpu:
         d = timer.measure(build(early_stop=True), reps=3)["median_s"]
         extras["early_term_2dB_gbps"] = batch * code.k / d / 1e9
@@ -129,14 +148,6 @@ def main():
         d = timer.measure(build(early_stop=True, algo="sumproduct-fast"),
                           reps=3)["median_s"]
         extras["spfast_et_2dB_gbps"] = batch * code.k / d / 1e9
-    print(json.dumps(extras), file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "minsum50_decoded_info_bits_per_s_per_chip",
-        "value": round(thpt, 0),
-        "unit": "bits/s",
-        "vs_baseline": round(thpt / 1e9, 4),
-    }))
 
 
 if __name__ == "__main__":

@@ -114,3 +114,72 @@ class TestTwoPhase:
         for a, b in zip(map(np.asarray, ref(llr)),
                         map(np.asarray, tp(llr))):
             assert np.array_equal(a, b)
+
+    def test_layered_twophase(self, small_code):
+        """VERDICT r2 #1: layered-schedule two-phase compaction is
+        bit-identical to the single-pass layered ET decoder."""
+        _, llr = _noisy_llrs(small_code, 256, 3.0, seed=5)
+        ref = build_pallas_decoder(small_code, iters=25, early_stop=True,
+                                   schedule="layered", interpret=True)
+        tp = build_twophase_decoder(small_code, iters=25, phase1_iters=5,
+                                    budget=128, schedule="layered",
+                                    interpret=True)
+        for a, b in zip(map(np.asarray, ref(llr)),
+                        map(np.asarray, tp(llr))):
+            assert np.array_equal(a, b)
+
+    def test_report_fallback(self, small_code):
+        """VERDICT r2 #3: the fallback indicator distinguishes a
+        compacted decode (n_unconv <= budget) from a forced full-batch
+        fallback (n_unconv > budget), with outputs unchanged."""
+        # easy SNR: few stragglers after 5 iters -> no fallback
+        _, llr = _noisy_llrs(small_code, 256, 3.0, seed=6)
+        tp = build_twophase_decoder(small_code, iters=25, phase1_iters=5,
+                                    budget=128, interpret=True,
+                                    report_fallback=True)
+        plain = build_twophase_decoder(small_code, iters=25, phase1_iters=5,
+                                       budget=128, interpret=True)
+        b, ok, iu, n_unconv = tp(llr)
+        assert int(n_unconv) <= 128
+        for a, c in zip(map(np.asarray, (b, ok, iu)),
+                        map(np.asarray, plain(llr))):
+            assert np.array_equal(a, c)
+        # hopeless SNR + tiny budget: forced fallback is visible
+        _, llr0 = _noisy_llrs(small_code, 256, 0.0, seed=7)
+        tp0 = build_twophase_decoder(small_code, iters=25, phase1_iters=2,
+                                     budget=8, interpret=True,
+                                     report_fallback=True)
+        _, _, _, n0 = tp0(llr0)
+        assert int(n0) > 8  # fallback fired and is observable
+
+    def test_quant_forwarded_through_api(self, small_code):
+        """ADVICE r2 medium regression: impl='twophase' must forward
+        quant_bits (it was silently dropped, returning float results
+        labeled quantized)."""
+        from tpu_ldpc.decode.api import decode
+
+        _, llr = _noisy_llrs(small_code, 256, 2.0, seed=8)
+        outq = decode(small_code, llr, iters=25, impl="twophase",
+                      quant_bits=5, quant_step=0.5)
+        ref = build_pallas_decoder(small_code, iters=25, early_stop=True,
+                                   quant_bits=5, quant_step=0.5,
+                                   interpret=True)
+        for a, b in zip(map(np.asarray, outq), map(np.asarray, ref(llr))):
+            assert np.array_equal(a, b)
+        # and quantization demonstrably took effect vs the float path
+        outf = decode(small_code, llr, iters=25, impl="twophase")
+        assert not np.array_equal(np.asarray(outq[0]), np.asarray(outf[0]))
+
+    def test_tune_phase1_iters(self, small_code):
+        """The measured-distribution tuner returns a sane (K, budget):
+        K below the full budget, budget a 128-multiple covering the
+        observed stragglers with margin."""
+        from tpu_ldpc.decode.twophase import tune_phase1_iters
+
+        K, budget, stats = tune_phase1_iters(
+            small_code, ebn0_db=3.0, batch=256, iters=25, seed=9,
+            interpret=True)
+        assert 1 <= K <= 25
+        assert budget % 128 == 0 and budget >= 128
+        assert stats["n_stragglers"] <= budget
+        assert stats["mean_iters"] < 25

@@ -123,7 +123,17 @@ def main(argv=None):
         "gbps": thpt / 1e9,
     }
     if args.json:
-        print(json.dumps(rec))
+        # strict JSON: the below-resolution guard returns NaN, which
+        # json.dumps would serialize as a bare `NaN` literal that
+        # breaks downstream parsers (ADVICE r2) — emit null instead
+        import math
+
+        safe = {
+            k: (None if isinstance(v, float) and not math.isfinite(v)
+                else v)
+            for k, v in rec.items()
+        }
+        print(json.dumps(safe))
     else:
         print(
             f"{code.name}: {args.algo} {args.iters} iters "

@@ -97,7 +97,9 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
         # bit-identical to the single-pass ET Pallas decoder, much
         # faster at operating points where a few lanes per tile
         # converge slowly.  Pallas-backed, so TPU (or interpret mode
-        # under tests).
+        # under tests).  quant_kw is forwarded (ADVICE r2 medium: it
+        # was silently dropped, returning float results labeled
+        # quantized) — build_pallas_decoder accepts it via decoder_kw.
         from tpu_ldpc.decode.twophase import build_twophase_decoder
 
         return build_twophase_decoder(
@@ -105,7 +107,7 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
             phase1_iters=getattr(cfg, "phase1_iters", 16),
             budget=getattr(cfg, "compact_budget", 512),
             algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
-            schedule=cfg.schedule,
+            schedule=cfg.schedule, **quant_kw,
         )
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"

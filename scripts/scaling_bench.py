@@ -89,9 +89,15 @@ def _free_port():
 
 
 def main():
-    steps, batch = 4, 64
+    # >=5 s of measured work per point so dispatch/startup is <5% of
+    # wall (VERDICT r2 #6: the old 4x64 run was 0.63 s at N=2 and
+    # under-reported the DP path).  N sweeps only up to the box's
+    # physical core count: XLA-CPU multithreads inside one process, so
+    # process-scaling beyond the core count measures contention, not DP.
+    steps, batch = 8, 256
     results = []
-    for n in (1, 2, 4):
+    max_n = min(2, os.cpu_count() or 1)
+    for n in sorted({1, max_n}):
         port = _free_port()
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)

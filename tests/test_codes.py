@@ -132,3 +132,83 @@ def test_6cycle_count_exact_on_k33():
     assert _count_6cycles_py(B, 1) == 6
     assert ace6_cost(B, 1) == 0.75
     assert _ace6_cost_py(B, 1) == 0.75
+
+
+class TestPeg:
+    """QC-PEG greedy shift assignment (codes/peg.py; VERDICT r2 #10)."""
+
+    def test_support_preserved_and_cyclefree(self):
+        import numpy as np
+
+        from tpu_ldpc.codes.base_graphs import (
+            count_4cycles,
+            family_base_graph,
+        )
+        from tpu_ldpc.codes.peg import peg_assign_shifts
+
+        B = np.asarray(family_base_graph("wimax", "1/2", 24))
+        Bp = peg_assign_shifts(B, 24, seed=1)
+        assert ((Bp >= 0) == (B >= 0)).all()
+        # parity part frozen verbatim
+        mb, nb = B.shape
+        assert np.array_equal(Bp[:, nb - mb:], B[:, nb - mb:])
+        assert count_4cycles(Bp, 24) == 0
+
+    def test_bfs_distances_match_bruteforce(self):
+        """Lifted BFS distances agree with networkx-free brute-force BFS
+        on a tiny lifted graph."""
+        import numpy as np
+
+        from tpu_ldpc.codes.expand import expand
+        from tpu_ldpc.codes.peg import _bfs_check_dists
+
+        rng = np.random.default_rng(0)
+        Z, mb, nb = 4, 3, 6
+        B = np.where(rng.random((mb, nb)) < 0.7,
+                     rng.integers(0, Z, (mb, nb)), -1)
+        H = np.asarray(expand(B, Z).todense() if hasattr(
+            expand(B, Z), "todense") else expand(B, Z))
+        m, n = H.shape
+        # brute-force BFS from variable j0*Z+0 over the bipartite graph
+        j0 = 0
+        INF = 10**9
+        dv = np.full(n, INF)
+        dcheck = np.full(m, INF)
+        dv[j0 * Z + 0] = 0
+        for _ in range(m + n):
+            for r in range(m):
+                cols = np.flatnonzero(H[r])
+                if len(cols):
+                    dcheck[r] = min(dcheck[r], dv[cols].min() + 1)
+            for c in range(n):
+                rows = np.flatnonzero(H[:, c])
+                if len(rows):
+                    dv[c] = min(dv[c], dcheck[rows].min() + 1)
+        dc, _ = _bfs_check_dists(B, Z, j0)
+        # expand() convention may differ from peg's lifted convention by
+        # a per-block relabeling of check copies — compare the sorted
+        # per-block distance multisets, which any relabeling preserves
+        for i in range(mb):
+            got = sorted(int(x) for x in dc[i])
+            want = sorted(
+                -1 if d >= INF else int(d)
+                for d in dcheck[i * Z:(i + 1) * Z]
+            )
+            assert got == want, (i, got, want)
+
+    def test_peg_girth_on_fresh_support(self):
+        """On a sparse random support at a generous lift, PEG alone
+        reaches girth >= 8 (no 4-cycles, usually no 6-cycles)."""
+        import numpy as np
+
+        from tpu_ldpc.codes.base_graphs import (
+            count_4cycles,
+            count_6cycles,
+            make_base_graph,
+        )
+        from tpu_ldpc.codes.peg import peg_assign_shifts
+
+        B0 = np.asarray(make_base_graph(4, 8, 32, seed=5))
+        Bp = peg_assign_shifts(B0, 32, seed=2)
+        assert count_4cycles(Bp, 32) == 0
+        assert count_6cycles(Bp, 32) <= count_6cycles(B0, 32)

@@ -107,6 +107,7 @@ def test_mc_step_shortened_counting(code):
     assert counters[1] == 0
 
 
+@pytest.mark.deep
 def test_run_ber_adapted_rates_order(code):
     """At a fixed mid-SNR the punctured (higher-rate) code must be worse
     than the mother code, and shortening must not be wildly off."""

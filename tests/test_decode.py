@@ -41,15 +41,20 @@ ALPHA_BETA = [(0.75, 0.0), (1.0, 0.0), (1.0, 0.15), (0.8, 0.1)]
 # alpha/beta arithmetic coverage comes from the cheap codes; the big
 # wifi23 code (golden is a slow per-frame Python loop at n=1944) checks
 # the operating config only — the parameter handling is code-independent
+# wifi23 (n=1944 golden python loop) is the suite's slowest single
+# bit-exact case; the contract it re-covers (jnp == golden on a family
+# cell) is axis-redundant with toy+judged -> deep (VERDICT r2 #5)
 PAIRS = [
-    (name, make, a, b)
+    pytest.param(name, make, a, b,
+                 marks=(pytest.mark.deep,) if name == "wifi23" else ())
     for name, make in CODES
     for a, b in (ALPHA_BETA if name != "wifi23" else ALPHA_BETA[:1])
 ]
 
 
 @pytest.mark.parametrize(
-    "name,make,alpha,beta", PAIRS, ids=[f"{p[0]}-{p[2]}-{p[3]}" for p in PAIRS]
+    "name,make,alpha,beta", PAIRS,
+    ids=[f"{p.values[0]}-{p.values[2]}-{p.values[3]}" for p in PAIRS],
 )
 def test_minsum_bitexact_vs_golden(name, make, alpha, beta):
     code = make()

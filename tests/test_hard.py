@@ -88,6 +88,7 @@ def test_wbf_flips_one_bit_per_iteration(rng):
     assert (iu == 1).all()  # single error -> exactly one flip
 
 
+@pytest.mark.deep
 def test_run_ber_with_hard_decoders():
     code = toy_code()
     kw = dict(batch=128, target_frame_errors=30, max_frames=4096, seed=1)

@@ -40,8 +40,13 @@ def test_banded_tables_shape_and_rejection():
         banded_tables(LdpcCode.judged())
 
 
-@pytest.mark.parametrize("algo", ["minsum", "sumproduct",
-                                  "sumproduct-fast"])
+@pytest.mark.parametrize("algo", [
+    "minsum",
+    # the equality contract is algo-independent plumbing; minsum is the
+    # cheap representative, the SP variants re-cover it at 2x cost
+    pytest.param("sumproduct", marks=pytest.mark.deep),
+    pytest.param("sumproduct-fast", marks=pytest.mark.deep),
+])
 def test_full_window_equals_reference_flooding(algo):
     """W = mb, one slide, I iterations == reference flooding-I."""
     code = sc_code(L=8, Z=8)
@@ -82,6 +87,7 @@ def test_sliding_window_decodes_high_snr():
     assert (iu == 2 * n_windows).all()
 
 
+@pytest.mark.deep
 def test_window_quality_monotone_in_width():
     """Windowed decoding approaches full-BP quality from above as the
     window widens (measured property frozen here; deterministic: fixed

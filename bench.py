@@ -163,10 +163,13 @@ def _extras_sweep(on_tpu, extras, timer, build, code, batch, iters):
         # layered two-phase (VERDICT r2 #1): 25 layered iterations match
         # the flooding-50 FER curve (artifacts/judged_layered25.csv), so
         # this is the champion equivalent-FER ET operating point.  Knobs
-        # from the measured iteration distribution at 2 dB
-        # (tune_phase1_iters; artifacts/tpu_session_r3_layeredtp.json).
+        # are measured-best from the tuned candidates at 2 dB (K=9 from
+        # tune_phase1_iters' iteration distribution, budget 768 = 2x the
+        # 382 observed stragglers; K=8/B=512 measured 1.04 Gb/s because
+        # stragglers overflow the budget and every dispatch pays the
+        # full-batch fallback — artifacts/tpu_session_r3_layeredtp.json).
         tp = build_twophase_decoder(
-            code, iters=25, phase1_iters=8, budget=512,
+            code, iters=25, phase1_iters=9, budget=768,
             schedule="layered", algo="minsum", alpha=0.75,
         )
         d = timer.measure(tp, reps=3)["median_s"]
@@ -179,8 +182,8 @@ def _extras_sweep(on_tpu, extras, timer, build, code, batch, iters):
 
         for name, kw in (("minsum_tp", dict(iters=iters, phase1_iters=16,
                                             budget=512)),
-                         ("layered_tp", dict(iters=25, phase1_iters=8,
-                                             budget=512,
+                         ("layered_tp", dict(iters=25, phase1_iters=9,
+                                             budget=768,
                                              schedule="layered"))):
             tpf = build_twophase_decoder(code, algo="minsum", alpha=0.75,
                                          report_fallback=True, **kw)

@@ -117,6 +117,15 @@ def tune_phase1_iters(code: LdpcCode, ebn0_db: float, batch: int = 4096,
     each phase only makes both terms smaller).  The margin absorbs
     batch-to-batch straggler variance so the full-batch fallback stays
     a tail event.  Returns (phase1_iters, budget, stats_dict).
+
+    The model is a PLANNER, not an oracle: it ignores per-tile ET exits
+    inside each phase, so measured throughput can prefer a neighboring
+    K (judged code at 2 dB, flooding-50: model picked K=20, measured
+    best K=16 by ~10%; layered-25: model's K=9/768 measured best, and
+    K=8/512 collapsed 2.2x because stragglers overflow the budget —
+    artifacts/tpu_session_r3_layeredtp.json).  Measure the tuned K and
+    its neighbors once per operating point, as bench.py's committed
+    knobs do.
     """
     import numpy as np
 

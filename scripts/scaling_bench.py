@@ -94,7 +94,7 @@ def main():
     # under-reported the DP path).  N sweeps only up to the box's
     # physical core count: XLA-CPU multithreads inside one process, so
     # process-scaling beyond the core count measures contention, not DP.
-    steps, batch = 8, 256
+    steps, batch = 12, 256
     results = []
     max_n = min(2, os.cpu_count() or 1)
     for n in sorted({1, max_n}):
@@ -102,9 +102,16 @@ def main():
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        # pin each worker to its own physical core (taskset): without
+        # pinning, XLA-CPU's intra-op threading lets the N=1 process use
+        # every core, so N=2 measures thread contention (58% "efficiency"
+        # on a 2-core box), not DP scaling.  Pinned, each process has
+        # exactly one core at every N and the ratio isolates the DP
+        # path's own overhead (psum + per-step dispatch).
         procs = [
             subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "worker",
+                ["taskset", "-c", str(pid % (os.cpu_count() or 1)),
+                 sys.executable, os.path.abspath(__file__), "worker",
                  str(port), str(pid), str(n), str(steps), str(batch)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 env=env, cwd=REPO,

@@ -103,6 +103,7 @@ def test_sumproduct_agrees_with_golden(schedule):
     assert (jok == gok).mean() >= 0.97
 
 
+@pytest.mark.deep
 def test_sumproduct_judged_frame_agreement():
     code = LdpcCode.judged()
     llr, _ = noisy_llrs(code, 24, 2.0, seed=31)

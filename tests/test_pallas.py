@@ -31,17 +31,21 @@ def noisy_llrs(code, batch, ebn0_db, seed):
 
 @pytest.mark.parametrize("schedule", ["flooding", "layered"])
 @pytest.mark.parametrize(
-    "alpha,beta", [(0.75, 0.0), (1.0, 0.15), (0.8, 0.1)]
+    "alpha,beta", [
+        (0.75, 0.0), (1.0, 0.15),
+        # joint alpha+beta: axis-redundant with the two cases above
+        pytest.param(0.8, 0.1, marks=pytest.mark.deep),
+    ]
 )
 def test_minsum_bitexact(schedule, alpha, beta):
     code = toy_code()
     llr, _ = noisy_llrs(code, 40, 3.0, seed=5)
     gb, gok, git = golden_decode(
-        code.H, llr, algo="minsum", iters=17, alpha=alpha, beta=beta,
+        code.H, llr, algo="minsum", iters=12, alpha=alpha, beta=beta,
         schedule=schedule, dtype=np.float32,
     )
     fn = build_pallas_decoder(
-        code, algo="minsum", iters=17, alpha=alpha, beta=beta,
+        code, algo="minsum", iters=12, alpha=alpha, beta=beta,
         schedule=schedule, batch_tile=128, interpret=True,
     )
     pb, pok, pit = map(np.asarray, fn(llr))
@@ -55,11 +59,11 @@ def test_minsum_no_early_stop(schedule):
     code = toy_code()
     llr, _ = noisy_llrs(code, 40, 3.0, seed=5)
     gb, gok, _ = golden_decode(
-        code.H, llr, algo="minsum", iters=17, schedule=schedule,
+        code.H, llr, algo="minsum", iters=12, schedule=schedule,
         dtype=np.float32, early_stop=False,
     )
     fn = build_pallas_decoder(
-        code, algo="minsum", iters=17, schedule=schedule,
+        code, algo="minsum", iters=12, schedule=schedule,
         early_stop=False, interpret=True,
     )
     pb, pok, _ = map(np.asarray, fn(llr))
@@ -96,7 +100,7 @@ def test_exit_block_invariance():
     llr, _ = noisy_llrs(code, 40, 3.0, seed=11)
     outs = []
     for g in (1, 3, 50):
-        fn = build_pallas_decoder(code, algo="minsum", iters=17,
+        fn = build_pallas_decoder(code, algo="minsum", iters=12,
                                   exit_block=g, interpret=True)
         outs.append([np.asarray(v) for v in fn(llr)])
     for o in outs[1:]:
@@ -149,9 +153,9 @@ def test_compressed_row_state_bitexact():
     code = toy_code()
     llr, _ = noisy_llrs(code, 40, 3.0, seed=41)
     gb, gok, git = golden_decode(
-        code.H, llr, algo="minsum", iters=17, dtype=np.float32
+        code.H, llr, algo="minsum", iters=12, dtype=np.float32
     )
-    fn = build_pallas_decoder(code, algo="minsum", iters=17,
+    fn = build_pallas_decoder(code, algo="minsum", iters=12,
                               interpret=True, compressed=True)
     pb, pok, pit = map(np.asarray, fn(llr))
     assert (pb == gb).all()

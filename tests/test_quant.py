@@ -41,16 +41,16 @@ def test_quant_bitexact_golden_jnp_pallas(schedule, qbits, qstep):
     code = toy_code()
     llr, _ = noisy_llrs(code, 40, 3.0, seed=11)
     gb, gok, git = golden_decode(
-        code.H, llr, algo="minsum", iters=17, alpha=0.75,
+        code.H, llr, algo="minsum", iters=12, alpha=0.75,
         schedule=schedule, dtype=np.float32,
         quant_bits=qbits, quant_step=qstep,
     )
-    jfn = build_decoder(code, algo="minsum", iters=17, alpha=0.75,
+    jfn = build_decoder(code, algo="minsum", iters=12, alpha=0.75,
                         schedule=schedule, quant_bits=qbits, quant_step=qstep)
     jb, jok, jit_ = map(np.asarray, jfn(llr))
     assert (jb == gb).all() and (jok == gok).all() and (jit_ == git).all()
     pfn = build_pallas_decoder(
-        code, algo="minsum", iters=17, alpha=0.75, schedule=schedule,
+        code, algo="minsum", iters=12, alpha=0.75, schedule=schedule,
         quant_bits=qbits, quant_step=qstep, interpret=True,
     )
     pb, pok, pit = map(np.asarray, pfn(llr))

@@ -174,6 +174,17 @@ def _extras_sweep(on_tpu, extras, timer, build, code, batch, iters):
         )
         d = timer.measure(tp, reps=3)["median_s"]
         extras["layered_twophase_et_2dB_gbps"] = batch * code.k / d / 1e9
+        # exact sum-product through the same machinery: SP layered-25
+        # beats SP flooding-50 on paired-noise FER (107 vs 149 / 32768,
+        # artifacts/tpu_session_r3_sp.json), SP converges faster (mean
+        # 5.2 iters at 2 dB) so the knobs are smaller; verified 2.40
+        # Gb/s anchored vs literals (tpu_session_r3_sp_verify.json)
+        tp = build_twophase_decoder(
+            code, iters=25, phase1_iters=8, budget=384,
+            schedule="layered", algo="sumproduct", alpha=0.75,
+        )
+        d = timer.measure(tp, reps=3)["median_s"]
+        extras["sp_layered_twophase_et_2dB_gbps"] = batch * code.k / d / 1e9
         # fallback observability (VERDICT r2 #3): one real-noise decode
         # per twophase config; n_unconv > budget means the ~2x-slower
         # full-batch fallback fired (should be 0 at this operating point)

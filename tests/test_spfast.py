@@ -190,3 +190,18 @@ class TestTwoPhase:
         assert budget % 128 == 0 and budget >= 128
         assert stats["n_stragglers"] <= budget
         assert stats["mean_iters"] < 12
+
+    def test_sumproduct_layered_twophase(self, small_code):
+        """Exact SP + layered schedule through two-phase compaction is
+        bit-identical to the single-pass layered SP ET decoder (the
+        2.40 Gb/s champion config's correctness contract)."""
+        _, llr = _noisy_llrs(small_code, 256, 3.0, seed=10)
+        ref = build_pallas_decoder(small_code, algo="sumproduct",
+                                   iters=10, early_stop=True,
+                                   schedule="layered", interpret=True)
+        tp = build_twophase_decoder(small_code, iters=10, phase1_iters=3,
+                                    budget=128, algo="sumproduct",
+                                    schedule="layered", interpret=True)
+        for a, b in zip(map(np.asarray, ref(llr)),
+                        map(np.asarray, tp(llr))):
+            assert np.array_equal(a, b)

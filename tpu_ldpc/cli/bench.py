@@ -25,6 +25,8 @@ def bench_decode(
     ebn0_db: float = 2.0,
     reps: int = 30,
     impl: str = "auto",
+    phase1_iters: int = 16,
+    compact_budget: int = 512,
 ):
     """Time the decode path; returns (seconds/batch, info bits/s)."""
     import jax
@@ -34,7 +36,17 @@ def bench_decode(
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
     )
-    if use_pallas:
+    if impl == "twophase":
+        # two-phase straggler-compaction ET (DESIGN.md §3.5): the
+        # champion operating point; early_stop is implied
+        from tpu_ldpc.decode.twophase import build_twophase_decoder
+
+        fn = build_twophase_decoder(
+            code, iters=iters, phase1_iters=phase1_iters,
+            budget=compact_budget, algo=algo, alpha=alpha,
+            schedule=schedule,
+        )
+    elif use_pallas:
         from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
 
         fn = build_pallas_decoder(
@@ -91,7 +103,12 @@ def main(argv=None):
     p.add_argument("--early-stop", action="store_true")
     p.add_argument("--ebn0", type=float, default=2.0)
     p.add_argument("--reps", type=int, default=30)
-    p.add_argument("--impl", default="auto")
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "jnp", "pallas", "twophase"])
+    p.add_argument("--phase1-iters", type=int, default=16,
+                   help="impl=twophase: phase-1 iteration budget")
+    p.add_argument("--compact-budget", type=int, default=512,
+                   help="impl=twophase: phase-2 compacted batch size")
     p.add_argument("--profile", metavar="DIR")
     p.add_argument("--json", action="store_true", help="machine output")
     args = p.parse_args(argv)
@@ -110,6 +127,7 @@ def main(argv=None):
         code, batch=args.batch, iters=args.iters, algo=args.algo,
         schedule=args.schedule, early_stop=args.early_stop,
         ebn0_db=args.ebn0, reps=args.reps, impl=args.impl,
+        phase1_iters=args.phase1_iters, compact_budget=args.compact_budget,
     )
     if ctx is not None:
         ctx.__exit__(None, None, None)

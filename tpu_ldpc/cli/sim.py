@@ -46,6 +46,12 @@ def build_parser():
     p.add_argument("--shorten-blocks", type=int, nargs="+", metavar="B",
                    help="info block-columns to shorten (rate adaptation)")
     p.add_argument("--impl", choices=["auto", "jnp", "pallas", "twophase"])
+    p.add_argument("--phase1-iters", type=int,
+                   help="impl=twophase: phase-1 iteration budget K "
+                        "(tune with decode.twophase.tune_phase1_iters)")
+    p.add_argument("--compact-budget", type=int,
+                   help="impl=twophase: compacted phase-2 batch size "
+                        "(128-multiple; too small -> 2x fallback cost)")
     p.add_argument("--batch", type=int)
     p.add_argument("--target-fe", type=int)
     p.add_argument("--max-frames", type=int)
@@ -78,6 +84,8 @@ def args_to_config(args):
         "decode.quant_bits": args.quant_bits,
         "decode.quant_step": args.quant_step,
         "decode.quant_post_bits": args.quant_post_bits,
+        "decode.phase1_iters": args.phase1_iters,
+        "decode.compact_budget": args.compact_budget,
         "run.batch": args.batch, "run.target_frame_errors": args.target_fe,
         "run.max_frames": args.max_frames, "run.seed": args.seed,
         "run.state_path": args.checkpoint, "run.out_csv": args.csv,

@@ -44,6 +44,13 @@ class DecodeCfg:
     quant_bits: int | None = None
     quant_step: float = 0.5
     quant_post_bits: int | None = None
+    # impl='twophase' only (decode/twophase.py): phase-1 iteration
+    # budget K and the compacted phase-2 batch size.  Derive from the
+    # measured iteration distribution at the operating point
+    # (tune_phase1_iters) — a too-small budget silently costs ~2x via
+    # the full-batch fallback (DESIGN.md §3.5)
+    phase1_iters: int = 16
+    compact_budget: int = 512
 
 
 COUNTER_FIELDS = (

@@ -121,9 +121,9 @@ def test_wider_lift_bitexact():
     code = LdpcCode.from_family("wifi", "2/3", 27)
     llr, _ = noisy_llrs(code, 16, 3.0, seed=13)
     gb, gok, git = golden_decode(
-        code.H, llr, algo="minsum", iters=8, dtype=np.float32
+        code.H, llr, algo="minsum", iters=6, dtype=np.float32
     )
-    fn = build_pallas_decoder(code, algo="minsum", iters=8,
+    fn = build_pallas_decoder(code, algo="minsum", iters=6,
                               batch_tile=128, interpret=True)
     pb, pok, pit = map(np.asarray, fn(llr))
     assert (pb == gb).all()

@@ -111,10 +111,7 @@ def main():
         "gbps_measure_medians": [
             round(batch * code.k / r["median_s"] / 1e9, 4) for r in meas
         ],
-        "median_spread": round(
-            (max(r["median_s"] for r in meas)
-             - min(r["median_s"] for r in meas))
-            / min(r["median_s"] for r in meas), 4),
+        "median_spread": round(spread(meas), 4),
         "dec_ms": m["dec_ms"],
         "gen_ms": m["gen_ms"],
     }

@@ -37,7 +37,7 @@ ITERS = 50
 ALPHA = 0.75
 
 FIELDS = ["cell", "n", "k", "Z", "rate", "ebn0_db", "frames", "fer",
-          "fer_lo", "fer_hi", "bitexact", "mean_iters", "tpu_ms", "ts"]
+          "fer_lo", "fer_hi", "bitexact", "mean_iters", "wall_ms_incl_compile", "ts"]
 
 
 def cells():
@@ -62,17 +62,22 @@ def main():
 
     assert jax.default_backend() == "tpu", jax.default_backend()
 
+    # Resume (review r3 fixes): only bitexact=True cells are skipped —
+    # a recorded FAILURE is re-validated, never silently dropped from
+    # the exit status; header presence is judged by file size, not by
+    # row count (a header-only crash must not append a second header).
     done = set()
+    n_fail = 0
     if os.path.exists(OUT):
         with open(OUT) as f:
-            done = {r["cell"] for r in csv.DictReader(f)}
-    new_file = not done
+            for r in csv.DictReader(f):
+                if r["bitexact"] == "True":
+                    done.add(r["cell"])
+    new_file = not os.path.exists(OUT) or os.path.getsize(OUT) == 0
     fout = open(OUT, "a", newline="")
     w = csv.DictWriter(fout, fieldnames=FIELDS)
     if new_file:
         w.writeheader()
-
-    n_fail = 0
     for cell, fam, rate, z, rate_str in cells():
         if cell in done:
             print(f"{cell}: already validated, skip", flush=True)
@@ -97,7 +102,10 @@ def main():
         t0 = time.perf_counter()
         tb, tok, tiu = map(np.asarray, jax.block_until_ready(
             dec(jnp.asarray(llr))))
-        tpu_ms = (time.perf_counter() - t0) * 1e3  # incl. compile: record only
+        # host-side wall time incl. compile and dispatch RTT — a provenance
+        # record ONLY, never a throughput number (CLAUDE.md: host-side
+        # per-call TPU timing is meaningless here; bench.py is the timer)
+        wall_ms = (time.perf_counter() - t0) * 1e3
         nb_, nok, niu = minsum_decode(code.H, llr, iters=ITERS, alpha=ALPHA)
 
         bitexact = (np.array_equal(tb, nb_) and np.array_equal(tok, nok)
@@ -108,7 +116,7 @@ def main():
                    ebn0_db=ebn0, frames=BATCH, fer=round(fe / BATCH, 6),
                    fer_lo=round(lo, 6), fer_hi=round(hi, 6),
                    bitexact=bitexact, mean_iters=round(float(tiu.mean()), 2),
-                   tpu_ms=round(tpu_ms, 1),
+                   wall_ms_incl_compile=round(wall_ms, 1),
                    ts=time.strftime("%Y-%m-%d %H:%M"))
         w.writerow(row)
         fout.flush()

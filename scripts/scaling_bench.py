@@ -91,9 +91,12 @@ def _free_port():
 def main():
     # >=5 s of measured work per point so dispatch/startup is <5% of
     # wall (VERDICT r2 #6: the old 4x64 run was 0.63 s at N=2 and
-    # under-reported the DP path).  N sweeps only up to the box's
-    # physical core count: XLA-CPU multithreads inside one process, so
-    # process-scaling beyond the core count measures contention, not DP.
+    # under-reported the DP path).  N is capped at 2 — this box has 2
+    # cores, and one pinned core per worker is the whole point; on a
+    # bigger box raise the cap only up to the PHYSICAL core count
+    # (os.cpu_count() reports logical CPUs: with SMT, naive pid %
+    # cpu_count pinning can land two workers on hyperthread siblings
+    # and measure SMT contention instead of DP overhead).
     steps, batch = 12, 256
     results = []
     max_n = min(2, os.cpu_count() or 1)

@@ -134,6 +134,22 @@ class TestTwoPhase:
                         map(np.asarray, tp(llr))):
             assert np.array_equal(a, b)
 
+    def test_phase1_clamped_to_iters(self, small_code):
+        """Review r3 regression: phase1_iters > iters must be clamped.
+        Unclamped, lanes converging in (iters, K] kept phase-1's
+        ok=True / iu > iters — a silent bit-identity violation that
+        only shows when budget < batch (phase 2 re-decodes every lane
+        otherwise, masking it)."""
+        _, llr = _noisy_llrs(small_code, 256, 3.0, seed=11)
+        ref = build_pallas_decoder(small_code, iters=4, early_stop=True,
+                                   interpret=True)
+        tp = build_twophase_decoder(small_code, iters=4, phase1_iters=16,
+                                    budget=128, interpret=True)
+        rb, rok, riu = map(np.asarray, ref(llr))
+        assert riu.max() <= 4
+        for a, b in zip((rb, rok, riu), map(np.asarray, tp(llr))):
+            assert np.array_equal(a, b)
+
     def test_report_fallback(self, small_code):
         """VERDICT r2 #3: the fallback indicator distinguishes a
         compacted decode (n_unconv <= budget) from a forced full-batch

@@ -130,12 +130,6 @@ def peg_assign_shifts(
     elif col_order == "random":
         rng.shuffle(cols)
 
-    chk_copy_deg = np.zeros((mb, Z), np.int64)
-    for i in range(mb):
-        for j in frozen:
-            if B_template[i, j] >= 0:
-                chk_copy_deg[i] += 1  # circulant: every copy gets one
-
     for j in cols:
         rows = [i for i in range(mb) if B_template[i, j] >= 0]
         rng.shuffle(rows)
@@ -152,13 +146,14 @@ def peg_assign_shifts(
                 # fewest shortest cycles created
                 p = np.where(dist[cand] < 0, 0, pc[i][cand])
                 cand = cand[p == p.min()]
-            if len(cand) > 1:
-                # balance lifted check-copy degrees
-                dgs = chk_copy_deg[i][cand]
-                cand = cand[dgs == dgs.min()]
+            # NOTE: no degree-balancing tie-break exists in the QC shift
+            # domain — a circulant contributes exactly one edge to EVERY
+            # check copy of its block-row, so per-copy degrees within a
+            # row are structurally uniform and can never discriminate
+            # between candidate shifts (review r3: an earlier "balance
+            # lifted check-copy degrees" filter here was provably a no-op).
             s = int(rng.choice(cand))
             B[i, j] = s
-            chk_copy_deg[i] += 1
     assert ((B >= 0) == (B_template >= 0)).all()
     return B
 

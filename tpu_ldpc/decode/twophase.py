@@ -68,6 +68,14 @@ def build_twophase_decoder(
     from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
 
     decoder_kw = dict(decoder_kw, early_stop=True, interpret=interpret)
+    # K > iters would let phase 1 run lanes PAST the configured budget:
+    # a lane converging at iteration iters < t <= K keeps phase-1's
+    # ok=True / iu=t (iu > iters!) instead of the single-pass decoder's
+    # ok=False — a silent bit-identity violation whenever budget < batch
+    # (e.g. cli --impl twophase --iters 12 with the default K=16).
+    # Clamping preserves the contract: K == iters makes phase 1 the
+    # full decode and phase 2 a no-op replay of stragglers.
+    phase1_iters = min(int(phase1_iters), int(iters))
     f1 = build_pallas_decoder(code, iters=int(phase1_iters), **decoder_kw)
     f2 = build_pallas_decoder(code, iters=int(iters), **decoder_kw)
     budget = int(budget)

@@ -27,9 +27,20 @@ class SweepState:
             with open(path) as f:
                 data = json.load(f)
             if config_hash and data.get("config_hash", "") != config_hash:
+                # Deliberately strict: the hash covers the FULL config
+                # schema, so extending SimConfig (new defaulted fields)
+                # also invalidates older checkpoints.  That is the safe
+                # direction — eliding default-valued fields would let a
+                # checkpoint written under an old default silently
+                # resume under a changed default (same elided hash,
+                # different semantics).
                 raise ValueError(
                     f"checkpoint {path} was written by a different config "
-                    f"({data.get('config_hash')!r} != {config_hash!r})"
+                    f"({data.get('config_hash')!r} != {config_hash!r}). "
+                    "If the config (or the config schema — a framework "
+                    "upgrade) changed intentionally, start fresh: delete "
+                    "the file or point --checkpoint elsewhere; committed "
+                    "counters remain readable as JSON."
                 )
             self._points = {
                 int(k): v for k, v in data.get("points", {}).items()

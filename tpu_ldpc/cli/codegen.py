@@ -29,6 +29,10 @@ def main(argv=None):
                         "by PEXIT mask search before picking shifts")
     p.add_argument("--threshold", action="store_true",
                    help="report the PEXIT BP-threshold estimate")
+    p.add_argument("--dmin", type=int, default=0, metavar="RESTARTS",
+                   help="probabilistic minimum-distance upper bound via "
+                        "information-set search (codes/dmin.py); exact "
+                        "enumeration instead when the dimension is tiny")
     p.add_argument("--out", help="write QC shift table here")
     p.add_argument("--alist", help="write alist here")
     p.add_argument("--registry-report", metavar="MD",
@@ -96,6 +100,17 @@ def main(argv=None):
     )
     if rank != code.m:
         print("WARNING: H is rank-deficient")
+
+    if args.dmin:
+        from tpu_ldpc.codes.dmin import dmin_exact, dmin_upper_bound
+
+        if code.n - rank <= 20:
+            print(f"d_min = {dmin_exact(code.H)} (exact enumeration)")
+        else:
+            w, _, st = dmin_upper_bound(code.H, restarts=args.dmin,
+                                        seed=args.seed)
+            print(f"d_min <= {w} (information-set search, "
+                  f"{st['restarts']} restarts, certificate verified)")
 
     if args.out:
         save_shift_table(code, args.out)

@@ -18,8 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 OUT = os.path.join(REPO, "artifacts", "dmin_bounds.csv")
-FIELDS = ["cell", "n", "k", "Z", "rate", "dim", "dmin_ub", "restarts",
-          "wall_s", "ts"]
+FIELDS = ["cell", "n", "k", "Z", "rate", "dim", "dmin_ub", "isd_ub",
+          "qc_ub", "restarts", "wall_s", "ts"]
 
 
 def cells():
@@ -34,7 +34,11 @@ def cells():
 
 
 def main():
-    from tpu_ldpc.codes.dmin import dmin_upper_bound, gf2_nullspace_basis
+    from tpu_ldpc.codes.dmin import (
+        dmin_upper_bound,
+        dmin_upper_bound_qc,
+        gf2_nullspace_basis,
+    )
 
     restarts = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     done = set()
@@ -52,16 +56,25 @@ def main():
             continue
         t0 = time.time()
         dim = gf2_nullspace_basis(code.H).shape[0]
-        ub, c, st = dmin_upper_bound(code.H, restarts=restarts, seed=0)
+        isd, c, st = dmin_upper_bound(code.H, restarts=restarts, seed=0)
+        # QC restricted-subcode search (dramatically tighter at long
+        # blocklength / low rate — DESIGN.md §6); judged/SC bases also
+        # satisfy the info-first systematic layout it assumes
+        try:
+            qc, _, _ = dmin_upper_bound_qc(code, restarts=25, seed=0)
+        except (AssertionError, ValueError) as e:
+            print(f"{cell}: qc search skipped ({e})", flush=True)
+            qc = ""
+        ub = min(isd, qc) if qc != "" else isd
         row = dict(cell=cell, n=code.n, k=code.k, Z=code.Z,
                    rate=f"{code.rate:.3f}", dim=dim, dmin_ub=ub,
-                   restarts=st["restarts"],
+                   isd_ub=isd, qc_ub=qc, restarts=st["restarts"],
                    wall_s=round(time.time() - t0, 1),
                    ts=time.strftime("%Y-%m-%d %H:%M"))
         w.writerow(row)
         fout.flush()
-        print(f"{cell}: d_min <= {ub}  (n={code.n}, dim={dim}, "
-              f"{row['wall_s']}s)", flush=True)
+        print(f"{cell}: d_min <= {ub}  (isd {isd}, qc {qc}, n={code.n}, "
+              f"dim={dim}, {row['wall_s']}s)", flush=True)
     fout.close()
     print("DONE", flush=True)
 

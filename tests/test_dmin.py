@@ -85,6 +85,20 @@ def test_isd_bound_judged_smoke():
     assert (H @ c.astype(np.int64) % 2 == 0).all()
 
 
+def test_qc_subcode_bound_tiny(tiny_qc):
+    """The restricted-subcode (QC-aware) search reaches the exact
+    d_min on the anchored toy QC code and certifies a full-code word."""
+    from tpu_ldpc.codes.dmin import dmin_upper_bound_qc
+
+    w, c, st = dmin_upper_bound_qc(tiny_qc, max_info_cols=2, restarts=20,
+                                   seed=0)
+    assert w == 4
+    H = np.asarray(tiny_qc.H.todense(), np.int64)
+    assert (H @ c.astype(np.int64) % 2 == 0).all()
+    assert c.sum() == 4
+    assert st["subcodes"] >= 1
+
+
 def test_impulse_bound_tiny(tiny_qc):
     """Decoder-impulse method finds the exact d_min on the short code
     (its measured reach; cross-checks the ISD search through an

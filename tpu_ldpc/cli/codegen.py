@@ -33,6 +33,10 @@ def main(argv=None):
                    help="probabilistic minimum-distance upper bound via "
                         "information-set search (codes/dmin.py); exact "
                         "enumeration instead when the dimension is tiny")
+    p.add_argument("--dmin-qc", action="store_true",
+                   help="with --dmin: additionally run the QC-aware "
+                        "restricted-subcode search (much tighter at "
+                        "long blocklength / low rate; slower)")
     p.add_argument("--out", help="write QC shift table here")
     p.add_argument("--alist", help="write alist here")
     p.add_argument("--registry-report", metavar="MD",
@@ -102,7 +106,11 @@ def main(argv=None):
         print("WARNING: H is rank-deficient")
 
     if args.dmin:
-        from tpu_ldpc.codes.dmin import dmin_exact, dmin_upper_bound
+        from tpu_ldpc.codes.dmin import (
+            dmin_exact,
+            dmin_upper_bound,
+            dmin_upper_bound_qc,
+        )
 
         if code.n - rank <= 20:
             print(f"d_min = {dmin_exact(code.H)} (exact enumeration)")
@@ -111,6 +119,10 @@ def main(argv=None):
                                         seed=args.seed)
             print(f"d_min <= {w} (information-set search, "
                   f"{st['restarts']} restarts, certificate verified)")
+            if args.dmin_qc:
+                wq, _, sq = dmin_upper_bound_qc(code, seed=args.seed)
+                print(f"d_min <= {min(w, wq)} (with QC restricted-"
+                      f"subcode search over {sq['subcodes']} subcodes)")
 
     if args.out:
         save_shift_table(code, args.out)

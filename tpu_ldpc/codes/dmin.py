@@ -147,6 +147,81 @@ def dmin_upper_bound(H, restarts: int = 200, seed: int = 0,
     return best_w, best_c, stats
 
 
+def _exact_min_word(basis: np.ndarray, chunk: int = 1 << 16):
+    """(min_weight, argmin codeword) over all nonzero combinations of
+    the given (small) basis."""
+    kdim, n = basis.shape
+    bb = basis.astype(np.int64)
+    exps = np.arange(kdim, dtype=np.uint64)
+    best_w, best_c = n + 1, None
+    for lo in range(1, 1 << kdim, chunk):
+        idx = np.arange(lo, min(lo + chunk, 1 << kdim), dtype=np.uint64)
+        msgs = ((idx[:, None] >> exps[None, :]) & 1).astype(np.int64)
+        words = (msgs @ bb) % 2
+        w = words.sum(axis=1)
+        i = int(w.argmin())
+        if int(w[i]) < best_w:
+            best_w, best_c = int(w[i]), words[i].astype(np.uint8)
+    return best_w, best_c
+
+
+def dmin_upper_bound_qc(code, max_info_cols: int = 2, restarts: int = 25,
+                        exact_dim: int = 16, seed: int = 0):
+    """QC-aware minimum-distance upper bound via restricted subcodes
+    (Rosnes/Ytrehus-style constraint-subset search, bounded).
+
+    Rationale: at n >= ~1300, R=1/2 the plain p<=2 information-set
+    search saturates (it needs an information set catching <= 2 support
+    positions of a min-weight word — probability ~1e-7 per restart).
+    But low-weight codewords of dual-diagonal QC families concentrate
+    on FEW info block-columns plus the weight-2 parity chain, and a
+    codeword supported only on column subset S is exactly a nullspace
+    element of H[:, S].  So: for every subset of <= max_info_cols info
+    block-columns (plus all parity block-columns), bound the subcode's
+    minimum weight — exactly (enumeration) when its dimension is tiny,
+    else by ISD at a now-favorable rate (dim ~ t*Z over (t+mb)*Z
+    length).  Every result is still a verified codeword of the FULL
+    code (zero outside S).  Measured: wifi_r12_z54 150 -> 32 vs the
+    plain search at equal wall time.
+
+    Assumes the repo's systematic layout (info block-columns first,
+    parity last — true for every registry family cell).  Returns
+    (best_w, codeword, stats).
+    """
+    from itertools import combinations
+
+    Hd = _dense(code.H)
+    Z, mb, nb = code.Z, code.mb, code.nb
+    kb = nb - mb
+    n = Hd.shape[1]
+    parity_cols = np.arange(kb * Z, nb * Z)
+    best_w, best_c = n + 1, None
+    n_sub = 0
+    for t in range(1, max_info_cols + 1):
+        for S in combinations(range(kb), t):
+            cols = np.concatenate(
+                [np.arange(i * Z, (i + 1) * Z) for i in S] + [parity_cols])
+            Hs = Hd[:, cols]
+            B = gf2_nullspace_basis(Hs)
+            if B.shape[0] == 0:
+                continue
+            n_sub += 1
+            if B.shape[0] <= exact_dim:
+                w, c_sub = _exact_min_word(B)
+            else:
+                w, c_sub, _ = dmin_upper_bound(Hs, restarts=restarts,
+                                               seed=seed, target=best_w - 1)
+            if w < best_w:
+                best_w = w
+                best_c = np.zeros(n, np.uint8)
+                best_c[cols] = c_sub
+    assert best_c is not None, "no nonempty restricted subcode found"
+    assert (Hd.astype(np.int64) @ best_c.astype(np.int64) % 2 == 0).all()
+    assert int(best_c.sum()) == best_w
+    return best_w, best_c, {"subcodes": n_sub,
+                            "max_info_cols": max_info_cols}
+
+
 def estimate_dmin_impulse(
     code,
     gammas=(0.6, 1.0, 1.6, 2.4),

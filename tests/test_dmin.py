@@ -42,6 +42,24 @@ def test_nullspace_rank_deficient():
     assert (H.astype(np.int64) @ B.T.astype(np.int64) % 2 == 0).all()
 
 
+def test_native_row_reduce_matches_golden():
+    """The ISD hot loop routes through the native bit-packed RREF when
+    available; RREF is canonical (unique), so native and golden must
+    agree exactly — rref AND recovered pivot columns."""
+    from tpu_ldpc import _native
+    from tpu_ldpc.golden.encoder import gf2_row_reduce
+
+    if _native.lib is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    for shape in ((3, 7), (12, 30), (20, 20), (8, 40)):
+        M = rng.integers(0, 2, shape).astype(np.uint8)
+        gr, gp = gf2_row_reduce(M)
+        nr, np_ = _native.gf2_row_reduce(M)
+        assert np.array_equal(gr, nr)
+        assert list(gp) == list(np_)
+
+
 def test_dmin_exact_hamming():
     assert dmin_exact(HAMMING_H) == 3
 

@@ -121,6 +121,18 @@ def gf2_rank(M: np.ndarray) -> int:
     return int(lib.gf2_rank(M, M.shape[0], M.shape[1]))
 
 
+def gf2_row_reduce(M: np.ndarray):
+    """(rref, pivot_cols) — bit-packed native RREF, same semantics as
+    the golden gf2_row_reduce (leftmost pivots, eliminated above and
+    below).  Pivot columns are recovered from the rref: row r's pivot
+    is its first set column (argmax on 0/1 rows)."""
+    M = np.ascontiguousarray(M % 2, dtype=np.uint8)
+    out = np.zeros_like(M)
+    rank = int(lib.gf2_row_reduce(M, M.shape[0], M.shape[1], out))
+    pivots = out[:rank].argmax(axis=1).tolist() if rank else []
+    return out, pivots
+
+
 def gf2_inv(M: np.ndarray) -> np.ndarray:
     M = np.ascontiguousarray(M % 2, dtype=np.uint8)
     n = M.shape[0]

@@ -120,9 +120,14 @@ def main(argv=None):
             print(f"d_min <= {w} (information-set search, "
                   f"{st['restarts']} restarts, certificate verified)")
             if args.dmin_qc:
-                wq, _, sq = dmin_upper_bound_qc(code, seed=args.seed)
+                # per-subcode restart budget follows --dmin (review r3:
+                # it was hard-coded at 25, so the knob silently did not
+                # control the QC search's effort)
+                wq, _, sq = dmin_upper_bound_qc(
+                    code, restarts=args.dmin, seed=args.seed)
                 print(f"d_min <= {min(w, wq)} (with QC restricted-"
-                      f"subcode search over {sq['subcodes']} subcodes)")
+                      f"subcode search over {sq['subcodes']} subcodes, "
+                      f"{args.dmin} restarts each)")
 
     if args.out:
         save_shift_table(code, args.out)

@@ -39,15 +39,32 @@ def _dense(H) -> np.ndarray:
     return np.asarray(sp.csr_matrix(H).todense(), dtype=np.uint8) % 2
 
 
-def gf2_nullspace_basis(H) -> np.ndarray:
+def _row_reduce(Hd: np.ndarray):
+    """RREF + pivot columns via the bit-packed native kernel when
+    available (the ISD loop calls this once per restart — the NumPy
+    golden version dominated registry sweeps: wimax z96 took 865 s for
+    150 restarts), golden fallback otherwise (identical semantics,
+    cross-checked in tests/test_dmin.py)."""
+    from tpu_ldpc import _native
+
+    if _native.lib is not None:
+        return _native.gf2_row_reduce(Hd)
+    return gf2_row_reduce(Hd)
+
+
+def gf2_nullspace_basis(H, verify: bool = True) -> np.ndarray:
     """(k', n) uint8 basis of {c : H c^T = 0 (mod 2)}; k' = n - rank(H).
 
     Row b is the codeword with a 1 in free column b (and only there
     among the free columns), so the basis is in systematic form over
     the free-column information set.
+
+    verify=False skips the O(n^2 k') H @ basis check — used by the ISD
+    restart loop, where that dense matmul dominated the whole search
+    (the final certificate is still verified against H either way).
     """
     Hd = _dense(H)
-    rref, pivots = gf2_row_reduce(Hd)
+    rref, pivots = _row_reduce(Hd)
     n = Hd.shape[1]
     piv = np.asarray(pivots, dtype=np.int64)
     free = np.setdiff1d(np.arange(n), piv)
@@ -56,7 +73,9 @@ def gf2_nullspace_basis(H) -> np.ndarray:
     if len(piv):
         # pivot-column bits solve H c = 0 given the free bits
         basis[:, piv] = rref[: len(piv), :][:, free].T
-    assert (Hd.astype(np.int64) @ basis.T.astype(np.int64) % 2 == 0).all()
+    if verify:
+        assert (Hd.astype(np.int64) @ basis.T.astype(np.int64)
+                % 2 == 0).all()
     return basis
 
 
@@ -114,13 +133,15 @@ def dmin_upper_bound(H, restarts: int = 200, seed: int = 0,
     target: stop early once a weight <= target is certified.
     Returns (best_w, codeword, stats); codeword is verified against H.
     """
+    if restarts < 1:
+        raise ValueError(f"restarts must be >= 1, got {restarts}")
     Hd = _dense(H)
     n = Hd.shape[1]
     rng = np.random.default_rng(seed)
     best_w, best_c = n + 1, None
     for r in range(int(restarts)):
         perm = rng.permutation(n)
-        B = gf2_nullspace_basis(Hd[:, perm])
+        B = gf2_nullspace_basis(Hd[:, perm], verify=False)
         k = B.shape[0]
         if k == 0:
             raise ValueError("code has dimension 0")
@@ -209,8 +230,15 @@ def dmin_upper_bound_qc(code, max_info_cols: int = 2, restarts: int = 25,
             if B.shape[0] <= exact_dim:
                 w, c_sub = _exact_min_word(B)
             else:
+                # full restart budget per subcode — passing a
+                # target derived from best_w here made the first
+                # subcode stop after ONE restart (target trivially
+                # met) and later ones stop at the first marginal
+                # improvement, systematically loosening the bound
+                # (review r3: wifi_r12_z27 measured 91 after 1
+                # restart vs 63 with the full budget)
                 w, c_sub, _ = dmin_upper_bound(Hs, restarts=restarts,
-                                               seed=seed, target=best_w - 1)
+                                               seed=seed)
             if w < best_w:
                 best_w = w
                 best_c = np.zeros(n, np.uint8)

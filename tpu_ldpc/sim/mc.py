@@ -45,12 +45,15 @@ class DecodeCfg:
     quant_step: float = 0.5
     quant_post_bits: int | None = None
     # impl='twophase' only (decode/twophase.py): phase-1 iteration
-    # budget K and the compacted phase-2 batch size.  Derive from the
-    # measured iteration distribution at the operating point
-    # (tune_phase1_iters) — a too-small budget silently costs ~2x via
-    # the full-batch fallback (DESIGN.md §3.5)
-    phase1_iters: int = 16
-    compact_budget: int = 512
+    # budget K and the compacted phase-2 batch size.  None (default)
+    # resolves per-cell tuned values from the registry metadata
+    # (codes/data/twophase_knobs.json, hardware-measured) with a
+    # rate-derived fallback — see decode/knobs.py.  Explicit values
+    # always win; a too-small budget costs ~2x via the full-batch
+    # fallback (DESIGN.md §3.5), which is warned about when the knobs
+    # were resolved rather than explicit.
+    phase1_iters: int | None = None
+    compact_budget: int | None = None
 
 
 COUNTER_FIELDS = (

@@ -20,7 +20,7 @@ class CodeSpec:
     """Which code to build: a registry family cell, an SC chain, an
     alist import, or the judged code."""
 
-    family: str = "judged"   # 'judged' | 'wifi' | 'wimax' | 'sc' | 'alist'
+    family: str = "judged"   # 'judged' | 'wifi' | 'wimax' | 'nr' | 'sc' | 'alist'
     rate: str = "1/2"
     Z: int = 64
     path: str = ""           # for family='alist'
@@ -31,6 +31,13 @@ class CodeSpec:
 
         if self.family == "judged":
             return LdpcCode.judged()
+        if self.family == "nr":
+            # NR-like rate-compatible family (codes/nrlike.py); its
+            # first two systematic blocks are meant to be punctured at
+            # transmission — ChannelCfg.build_adapt defaults that in
+            from tpu_ldpc.codes.nrlike import nrlike_code
+
+            return nrlike_code(self.rate, self.Z)
         if self.family == "alist":
             from tpu_ldpc.codes.alist import load_alist
 
@@ -54,8 +61,16 @@ class ChannelCfg:
     shorten_blocks: tuple = ()
 
     def build_adapt(self, code):
-        """RateAdapt for this config, or None when not adapted."""
+        """RateAdapt for this config, or None when not adapted.
+
+        NR-like cells default to their family contract — the two
+        high-degree systematic blocks are never transmitted — unless
+        the config specifies an adaptation explicitly."""
         if not self.puncture_blocks and not self.shorten_blocks:
+            if code.name.startswith("nr1_"):
+                from tpu_ldpc.codes.nrlike import nrlike_adapt
+
+                return nrlike_adapt(code)
             return None
         from tpu_ldpc.channel.adapt import RateAdapt
 

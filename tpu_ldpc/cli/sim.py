@@ -21,7 +21,8 @@ def build_parser():
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="dotted config override, e.g. decode.alpha=0.8")
     # common shortcuts (equivalent to --set forms)
-    p.add_argument("--family", choices=["judged", "wifi", "wimax", "sc", "alist"])
+    p.add_argument("--family", choices=["judged", "wifi", "wimax", "nr",
+                                        "sc", "alist"])
     p.add_argument("--sc-length", type=int, help="SC chain length L (family=sc)")
     p.add_argument("--rate")
     p.add_argument("--z", type=int)

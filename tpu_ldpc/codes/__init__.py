@@ -16,3 +16,8 @@ from tpu_ldpc.codes.base_graphs import (  # noqa: F401
 )
 from tpu_ldpc.codes.code import LdpcCode  # noqa: F401
 from tpu_ldpc.codes.expand import expand, rotate  # noqa: F401
+from tpu_ldpc.codes.nrlike import (  # noqa: F401
+    make_nrlike_base_graph,
+    nrlike_adapt,
+    nrlike_code,
+)

@@ -47,6 +47,7 @@ def build_twophase_decoder(
     interpret: bool | None = None,
     report_fallback: bool = False,
     warn_on_fallback: bool = False,
+    phase1_alpha: float | None = None,
     **decoder_kw,
 ):
     """Build a jitted two-phase ET decoder: llr (batch, n) ->
@@ -68,6 +69,16 @@ def build_twophase_decoder(
       this flags the ~2x perf cliff).  Used by the api layer whenever
       the knobs were resolved from registry metadata / derived
       defaults rather than given explicitly (decode/knobs.py).
+    phase1_alpha: EXPERIMENTAL hybrid (VERDICT r3 #7, "minsum-hybrid"):
+      run phase 1 with a DIFFERENT normalization constant (e.g. 1.0 =
+      pure min-sum, which drops the per-edge multiply — the kernel's
+      only remaining measured cost lever, -8% time on flooding).  The
+      output is then NOT bit-identical to any single-pass decoder:
+      lanes that converge in phase 1 carry pure-min-sum trajectories
+      while stragglers are re-decoded with the configured alpha.  Any
+      FER claim for this mode needs its own paired-seed measurement
+      (scripts/tpu_hybrid_experiment.py).  None (default) keeps the
+      bit-identical contract.
     decoder_kw: algo/alpha/beta/schedule/quant_*/... forwarded to
       build_pallas_decoder (early_stop is forced True).
     """
@@ -82,7 +93,9 @@ def build_twophase_decoder(
     # Clamping preserves the contract: K == iters makes phase 1 the
     # full decode and phase 2 a no-op replay of stragglers.
     phase1_iters = min(int(phase1_iters), int(iters))
-    f1 = build_pallas_decoder(code, iters=int(phase1_iters), **decoder_kw)
+    p1_kw = (decoder_kw if phase1_alpha is None
+             else dict(decoder_kw, alpha=float(phase1_alpha)))
+    f1 = build_pallas_decoder(code, iters=int(phase1_iters), **p1_kw)
     f2 = build_pallas_decoder(code, iters=int(iters), **decoder_kw)
     budget = int(budget)
     _warned = {"budget": budget, "fired": False}

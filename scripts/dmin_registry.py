@@ -35,6 +35,7 @@ FIELDS = ["cell", "n", "k", "Z", "rate", "dim", "dmin_ub", "isd_ub",
 
 def cells():
     from tpu_ldpc.codes import LdpcCode
+    from tpu_ldpc.codes.nrlike import nrlike_code
 
     yield ("judged", LdpcCode.judged())
     for fam, lifts in (("wifi", (27, 54, 81)), ("wimax", (24, 48, 96))):
@@ -42,6 +43,13 @@ def cells():
             for z in lifts:
                 yield (f"{fam}_r{rate.replace('/', '')}_z{z}",
                        LdpcCode.from_family(fam, rate, z))
+    # NR-like rate-compatible cells (codes/nrlike.py).  d_min here is
+    # of the MOTHER code (all columns, incl. the two punctured blocks)
+    # — the quantity that governs undetected errors at the decoder,
+    # which always sees the full codeword.
+    for rate in ("1/2", "2/3", "3/4", "5/6"):
+        code = nrlike_code(rate, 64)
+        yield (code.name, code)
 
 
 def _write_atomic(rows):

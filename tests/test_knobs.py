@@ -55,7 +55,9 @@ def test_unknown_cell_rate_derived():
         9, 512, "derived")
     assert resolve_twophase_knobs(lo, "flooding", None, None) == (
         16, 512, "derived")
-    hi = LdpcCode.from_family("wimax", "5/6", 48)  # no measured entry
+    hi = LdpcCode.from_base_graph(
+        make_base_graph(4, 24, 8, seed=5), 8, "custom_hi_rate")
+    assert hi.rate > 0.79
     k, b, src = resolve_twophase_knobs(hi, "layered", None, None)
     assert (k, b, src) == (7, 512, "derived")
 

@@ -131,6 +131,7 @@ def test_wider_lift_bitexact():
     assert (pit == git).all()
 
 
+@pytest.mark.deep  # kept-negative path (bf16 measured slower, BASELINE.md)
 def test_bf16_message_mode():
     """Quantized (bf16 R) mode: not bit-exact by contract, but decisions
     agree with f32 at operating SNR on this toy batch."""
@@ -148,6 +149,7 @@ def test_bf16_message_mode():
     assert (ok1 == ok2).mean() >= 0.97
 
 
+@pytest.mark.deep  # kept-negative path (compressed state measured slower)
 def test_compressed_row_state_bitexact():
     """Compressed per-row message state reconstructs R exactly."""
     code = toy_code()
@@ -182,7 +184,8 @@ def test_sc_code_bitexact():
     assert (pb == gb).all() and (pok == gok).all() and (pit == git).all()
 
 
-@pytest.mark.parametrize("early_stop", [True, False])
+@pytest.mark.parametrize(
+    "early_stop", [pytest.param(True, marks=pytest.mark.deep), False])
 def test_rescaled_bitexact(early_stop):
     """min-sum-rescaled contract (golden/decoder.py decode() docstring):
     kernel == golden rescaled on bits/ok/iters_used, and the rescaled
@@ -209,9 +212,11 @@ def test_rescaled_bitexact(early_stop):
     assert (gok == sok).mean() >= 0.97
 
 
+@pytest.mark.deep  # redundant axis: generic rescaled contract covered above
 def test_rescaled_judged_code_bitexact():
-    """Full-size judged code through the rescaled kernel (the bench.py
-    headline path): bit-exact vs golden rescaled at 50 iterations."""
+    """Full-size judged code through the rescaled kernel (kept-negative
+    option, ~4% slower than the standard headline kernel — BASELINE.md
+    r2): bit-exact vs golden rescaled at 50 iterations."""
     code = LdpcCode.judged()
     llr, _ = noisy_llrs(code, 8, 2.0, seed=17)
     gb, gok, git = golden_decode(

@@ -65,10 +65,24 @@ def main():
     with open(KNOBS) as f:
         knobs = json.load(f)
 
-    for fam, lifts in (("wifi", (27, 54, 81)), ("wimax", (24, 48, 96))):
-        for rate in ("1/2", "2/3", "3/4", "5/6"):
-            for z in lifts:
-                cell = f"{fam}_r{rate.replace('/', '')}_z{z}"
+    def all_cells():
+        from tpu_ldpc.codes.nrlike import nrlike_code
+
+        for fam, lifts in (("wifi", (27, 54, 81)),
+                           ("wimax", (24, 48, 96))):
+            for rate in ("1/2", "2/3", "3/4", "5/6"):
+                for z in lifts:
+                    yield (LdpcCode.from_family(fam, rate, z),
+                           EBN0_BY_RATE[rate])
+        # NR-like cells: operating points from the measured r4
+        # waterfalls (the family's steep curves sit LOWER than the
+        # wifi/wimax per-rate points; FER ~1e-3..1e-2 region)
+        for rate, ebn0 in (("1/2", 1.65), ("2/3", 2.6), ("3/4", 2.9),
+                           ("5/6", 3.4)):
+            yield (nrlike_code(rate, 64), ebn0)
+
+    for code, ebn0 in all_cells():
+                cell = code.name
                 prior = knobs["cells"].get(cell, {}).get("layered")
                 if cell in results["cells"]:
                     print(f"{cell}: done this sweep, skip", flush=True)
@@ -78,8 +92,6 @@ def main():
                     print(f"{cell}: measured metadata exists, skip",
                           flush=True)
                     continue
-                code = LdpcCode.from_family(fam, rate, z)
-                ebn0 = EBN0_BY_RATE[rate]
                 t0 = time.time()
                 K, budget, stats = tune_phase1_iters(
                     code, ebn0_db=ebn0, batch=BATCH, iters=ITERS, seed=3,

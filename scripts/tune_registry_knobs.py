@@ -93,9 +93,20 @@ def main():
                           flush=True)
                     continue
                 t0 = time.time()
-                K, budget, stats = tune_phase1_iters(
-                    code, ebn0_db=ebn0, batch=BATCH, iters=ITERS, seed=3,
-                    schedule="layered", alpha=0.75)
+                try:
+                    K, budget, stats = tune_phase1_iters(
+                        code, ebn0_db=ebn0, batch=BATCH, iters=ITERS,
+                        seed=3, schedule="layered", alpha=0.75)
+                except NotImplementedError as e:
+                    # guarded kernel capability rejection (e.g.
+                    # nr1_r12_z64's layered+ET state exceeds the VMEM
+                    # budget): record and move on — impl='twophase'
+                    # for such a cell routes through the jnp/sharded
+                    # fallbacks, so no knobs apply
+                    results["cells"][cell] = {"skipped": str(e)}
+                    _dump_atomic(OUT, results)
+                    print(f"{cell}: SKIP ({e})", flush=True)
+                    continue
                 tp = build_twophase_decoder(
                     code, iters=ITERS, phase1_iters=K, budget=budget,
                     schedule="layered", algo="minsum", alpha=0.75)

@@ -14,7 +14,7 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser(description="tpu-ldpc code construction")
     p.add_argument("--family", default="judged",
-                   choices=["judged", "wifi", "wimax", "custom"])
+                   choices=["judged", "wifi", "wimax", "nr", "custom"])
     p.add_argument("--rate", default="1/2")
     p.add_argument("--z", type=int, default=64)
     p.add_argument("--mb", type=int, help="custom: base rows")
@@ -54,6 +54,10 @@ def main(argv=None):
 
     if args.family == "judged":
         code = LdpcCode.judged()
+    elif args.family == "nr":
+        from tpu_ldpc.codes.nrlike import nrlike_code
+
+        code = nrlike_code(args.rate, args.z)
     elif args.family == "custom":
         if args.pexit:
             from tpu_ldpc.codes.base_graphs import build_from_mask

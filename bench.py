@@ -117,7 +117,82 @@ def main():
     }
     if on_tpu:
         _extras_sweep(extras, timer, build, code, batch, iters)
+        _rescue_missing_extras(extras)
     print(json.dumps(extras), file=sys.stderr)
+
+
+# extras measured by _extras_sweep that a rescue subprocess can redo
+RESCUABLE = (
+    "layered_twophase_et_2dB_gbps",
+    "sp_layered_twophase_et_2dB_gbps",
+    "layered_tp_n_unconv",
+    "layered_tp_fallback",
+    "layered25_equivFER_gbps",
+    "minsum_twophase_et_2dB_gbps",
+    "minsum_tp_n_unconv",
+    "minsum_tp_fallback",
+    "sumproduct_twophase_et_2dB_gbps",
+    "layered_et_2dB_gbps",
+    "early_term_2dB_gbps",
+    "sumproduct_et_2dB_gbps",
+)
+
+
+def _rescue_missing_extras(extras):
+    """Re-run failed extras in a FRESH subprocess (measured r4: once
+    the remote runtime faults mid-process, every subsequent compile in
+    THAT process fails too — the in-process health-check+retry cannot
+    recover, but a new process with a clean runtime handle can.  One
+    rerun captured a headline of 1.12 with ALL 10 extras dead this
+    way)."""
+    import os
+    import subprocess
+
+    n = 0
+    for attempt in range(2):
+        if all(k in extras for k in RESCUABLE):
+            break
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--extras-only"],
+                capture_output=True, text=True, timeout=2400)
+            got = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            extras["extras_rescue_error"] = repr(e)
+            continue
+        for k in RESCUABLE:
+            if k not in extras and k in got:
+                extras[k] = got[k]
+                n += 1
+    if n:
+        extras["extras_rescued"] = n
+
+
+def _extras_only():
+    """Subprocess entry: measure ONLY the extras (fresh runtime), one
+    JSON line on stdout for the parent to merge."""
+    import jax
+
+    from tpu_ldpc.benchcore import make_timer
+    from tpu_ldpc.codes import LdpcCode
+
+    code = LdpcCode.judged()
+    batch, iters = 4096, 50
+    timer, _ = make_timer(code, batch, ebn0_db=2.0, inner=60)
+
+    def build(early_stop, schedule="flooding", algo="minsum", iters=iters):
+        from tpu_ldpc.decode.pallas_bp import build_pallas_decoder
+
+        return build_pallas_decoder(
+            code, algo=algo, iters=iters, alpha=0.75,
+            schedule=schedule, early_stop=early_stop,
+        )
+
+    extras = {}
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    _extras_sweep(extras, timer, build, code, batch, iters)
+    print(json.dumps(extras), flush=True)
 
 
 def _health_check():
@@ -237,4 +312,7 @@ def _extras_sweep(extras, timer, build, code, batch, iters):
 
 
 if __name__ == "__main__":
-    main()
+    if "--extras-only" in sys.argv:
+        _extras_only()
+    else:
+        main()

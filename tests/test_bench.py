@@ -171,3 +171,27 @@ class TestExtrasRescue:
         bench._rescue_missing_extras(extras)
         assert len(calls) == 2  # both attempts used
         assert "tunnel dead" in extras["extras_rescue_error"]
+
+
+class TestCliBenchKnobDefaults:
+    def test_ebn0_defaults_to_cell_metadata(self, monkeypatch):
+        """impl=twophase with no --ebn0 measures at the cell's TUNED
+        operating point (r4: the old 2.0 dB default put a rate-5/6
+        cell in the all-stragglers regime — 1.57 vs 4.77 Gb/s)."""
+        import tpu_ldpc.cli.bench as cb
+
+        seen = {}
+
+        def fake_bench_decode(code, **kw):
+            seen.update(kw)
+            return 0.001, 1e9
+
+        monkeypatch.setattr(cb, "bench_decode", fake_bench_decode)
+        cb.main(["--family", "wimax", "--rate", "5/6", "--z", "96",
+                 "--impl", "twophase", "--schedule", "layered",
+                 "--iters", "25", "--json"])
+        assert seen["ebn0_db"] == 3.6  # the tuned metadata point
+        cb.main(["--family", "judged", "--json"])
+        assert seen["ebn0_db"] == 2.0  # flooding metadata point
+        cb.main(["--family", "judged", "--ebn0", "1.5", "--json"])
+        assert seen["ebn0_db"] == 1.5  # explicit wins

@@ -108,7 +108,12 @@ def main(argv=None):
     p.add_argument("--algo", default="minsum")
     p.add_argument("--schedule", default="flooding")
     p.add_argument("--early-stop", action="store_true")
-    p.add_argument("--ebn0", type=float, default=2.0)
+    p.add_argument("--ebn0", type=float, default=None,
+                   help="operating point (default: the cell's tuned "
+                        "registry metadata point for impl=twophase, "
+                        "else 2.0 — a rate-5/6 cell at 2.0 dB is all "
+                        "stragglers and pays the fallback every "
+                        "dispatch)")
     p.add_argument("--reps", type=int, default=30)
     p.add_argument("--impl", default="auto",
                    choices=["auto", "jnp", "pallas", "twophase"])
@@ -127,6 +132,12 @@ def main(argv=None):
     from tpu_ldpc.cli.config import CodeSpec
 
     code = CodeSpec(family=args.family, rate=args.rate, Z=args.z).build()
+
+    if args.ebn0 is None:
+        from tpu_ldpc.decode.knobs import _load_table
+
+        entry = _load_table().get(code.name, {}).get(args.schedule)
+        args.ebn0 = (entry or {}).get("ebn0_db", 2.0)
 
     ctx = None
     if args.profile:

@@ -126,3 +126,27 @@ def test_warn_once_on_budget_overflow():
         warnings.simplefilter("always")
         tp2(llr2)
     assert not [w for w in rec2 if "twophase" in str(w.message)]
+
+
+def test_twophase_vmem_rejected_falls_back_with_warning(monkeypatch):
+    """A kernel capability rejection (e.g. nr1_r12_z64 layered+ET over
+    the VMEM budget) degrades impl='twophase' to the single-pass ET
+    reference decoder with a warning instead of crashing."""
+    import warnings
+
+    import tpu_ldpc.decode.twophase as tpmod
+    from tpu_ldpc.decode.api import build_decode_fn
+    from tpu_ldpc.sim.mc import DecodeCfg
+
+    def boom(*a, **k):
+        raise NotImplementedError("state exceeds VMEM budget")
+
+    monkeypatch.setattr(tpmod, "build_twophase_decoder", boom)
+    code = LdpcCode.from_base_graph(make_base_graph(4, 8, 8, seed=3), 8)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fn = build_decode_fn(code, DecodeCfg(impl="twophase", iters=8))
+    assert any("falling back" in str(w.message) for w in rec)
+    llr = np.full((8, code.n), 4.0, np.float32)
+    bits, ok, iu = fn(llr)
+    assert np.asarray(bits).shape == (8, code.n)

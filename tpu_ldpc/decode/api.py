@@ -113,12 +113,33 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
             getattr(cfg, "phase1_iters", None),
             getattr(cfg, "compact_budget", None),
         )
-        return build_twophase_decoder(
-            code, iters=cfg.iters, phase1_iters=k, budget=b,
-            warn_on_fallback=source != "explicit",
-            algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
-            schedule=cfg.schedule, **quant_kw,
-        )
+        try:
+            return build_twophase_decoder(
+                code, iters=cfg.iters, phase1_iters=k, budget=b,
+                warn_on_fallback=source != "explicit",
+                algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
+                schedule=cfg.schedule, **quant_kw,
+            )
+        except NotImplementedError as e:
+            # guarded kernel capability rejection (e.g. nr1_r12_z64's
+            # layered+ET state exceeds the VMEM budget): degrade to the
+            # single-pass ET jnp reference with a warning rather than
+            # crash — same outputs as the two-phase path (which is
+            # bit-identical to single-pass ET by contract), lower
+            # throughput
+            import warnings
+
+            warnings.warn(
+                f"impl='twophase' unavailable for this code ({e}); "
+                "falling back to the single-pass ET reference decoder "
+                "(same outputs, lower throughput)", stacklevel=2)
+            from tpu_ldpc.decode.reference import build_decoder
+
+            return build_decoder(
+                code, algo=cfg.algo, iters=cfg.iters, alpha=cfg.alpha,
+                beta=cfg.beta, schedule=cfg.schedule, early_stop=True,
+                **quant_kw,
+            )
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
     )

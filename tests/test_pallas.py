@@ -271,3 +271,24 @@ def test_rescaled_extreme_magnitude_stress():
     assert (pb == gb).all()
     assert (pok == gok).all()
     assert (pit == git).all()
+
+
+def test_vmem_overrun_drops_normalization_first(monkeypatch):
+    """When the normalization L scratch ALONE pushes a code over the
+    VMEM budget, the builder drops normalization (bit-exact relabeling,
+    ~5% perf) instead of rejecting — the nr1_r12_z64 case (r4)."""
+    import tpu_ldpc.decode.pallas_bp as pb
+
+    code = toy_code()
+    base = code.layout.vmem_bytes(128)
+    scratch = code.layout.nb * code.layout.Z * 4 * 128
+    # budget admits the bare state but not state+scratch
+    monkeypatch.setattr(pb, "VMEM_BUDGET_BYTES", base + scratch // 2)
+    dec = pb.build_pallas_decoder(code, iters=3, interpret=True)
+    llr, _ = noisy_llrs(code, 8, 3.0, seed=9)
+    bits, ok, iu = dec(llr)
+    assert np.asarray(bits).shape == (8, code.n)
+    # a genuine overrun (bare state too big) still rejects
+    monkeypatch.setattr(pb, "VMEM_BUDGET_BYTES", base - 1)
+    with pytest.raises(NotImplementedError):
+        pb.build_pallas_decoder(code, iters=4, interpret=True)

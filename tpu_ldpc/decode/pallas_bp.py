@@ -392,6 +392,22 @@ def build_pallas_decoder(
     while batch_tile > 128 and state_bytes(batch_tile) > VMEM_BUDGET_BYTES:
         batch_tile //= 2
     if state_bytes(batch_tile) > VMEM_BUDGET_BYTES:
+        # The normalization L scratch (nb*Z*4*bt) is a ~5% throughput
+        # OPTIMIZATION, not a capability: when it alone pushes a big
+        # code over the budget (e.g. nr1_r12_z64: 12.73 MB with it,
+        # 11.22 without), drop normalization instead of rejecting —
+        # outputs are bit-exact either way (pure relabeling).
+        if normalize and not rescaled and not compressed and (
+                lay.vmem_bytes(batch_tile) <= VMEM_BUDGET_BYTES):
+            return build_pallas_decoder(
+                code, algo=algo, iters=iters, alpha=alpha, beta=beta,
+                schedule=schedule, early_stop=early_stop,
+                batch_tile=batch_tile, exit_block=exit_block,
+                normalize=False, unroll=unroll, rescaled=rescaled,
+                interpret=interpret, dtype=dtype, msg_dtype=msg_dtype,
+                compressed=compressed, quant_bits=quant_bits,
+                quant_step=quant_step, quant_post_bits=quant_post_bits,
+            )
         raise NotImplementedError(
             f"{code.name}: decoder state {state_bytes(batch_tile)} B "
             f"exceeds VMEM budget at batch_tile={batch_tile}"

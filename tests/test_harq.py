@@ -1,0 +1,54 @@
+"""IR-HARQ over the NR-like nested family (sim/harq.py)."""
+
+import numpy as np
+import pytest
+
+from tpu_ldpc.codes.nrlike import KB, M_MOTHER, make_nrlike_base_graph
+from tpu_ldpc.sim.harq import run_irharq
+
+Z = 16
+
+
+def test_mother_codeword_prefix_is_codeword_of_every_truncation():
+    """The nesting property IR-HARQ relies on: the first (kb+m) blocks
+    of a mother codeword satisfy the m-row truncation's H."""
+    from tpu_ldpc.codes.code import LdpcCode
+    from tpu_ldpc.golden import encode as golden_encode
+
+    mother = LdpcCode("m", make_nrlike_base_graph(Z, m=M_MOTHER), Z)
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 2, (4, mother.k)).astype(np.uint8)
+    c = golden_encode(mother.H, u)
+    for m in (4, 7, 13, 24):
+        code_m = LdpcCode("t", make_nrlike_base_graph(Z, m=m), Z)
+        n_m = (KB + m) * Z
+        syn = (np.asarray(code_m.H.todense()) @ c[:, :n_m].T) % 2
+        assert not syn.any(), m
+
+
+def test_irharq_stages_monotone():
+    """At an SNR where the first (high-rate) stage often fails,
+    increments must strictly help: FER non-increasing over stages,
+    effective info rate between final-stage and first-stage rates."""
+    res = run_irharq(Z=Z, stage_m=(7, 13, 24), ebn0_db=1.0, batch=96,
+                     iters=30, seed=1)
+    fers = [s["fer_after"] for s in res.stages]
+    assert all(a >= b for a, b in zip(fers, fers[1:]))
+    assert fers[0] > fers[-1]  # increments actually delivered frames
+    assert res.delivered > 0
+    r_first = res.stages[0]["rate_cum"]
+    r_last = res.stages[-1]["rate_cum"]
+    assert r_last <= res.avg_info_rate <= r_first
+    # bits-on-air accounting: between first-stage-only and all-stages
+    assert res.stages[0]["n_tx_cum"] <= res.avg_bits_sent
+    assert res.avg_bits_sent <= res.stages[-1]["n_tx_cum"]
+
+
+def test_irharq_easy_snr_single_transmission():
+    """At generous SNR every lane delivers on the first transmission —
+    the protocol costs nothing beyond the high-rate stage."""
+    res = run_irharq(Z=Z, stage_m=(7, 24), ebn0_db=6.0, batch=64,
+                     iters=30, seed=2)
+    assert res.residual_fer == 0.0
+    assert res.avg_bits_sent == res.stages[0]["n_tx_cum"]
+    assert res.avg_info_rate == pytest.approx(res.stages[0]["rate_cum"])

@@ -97,3 +97,59 @@ def test_cli_config_builds_nr_with_default_puncture():
     # explicit adaptation still wins
     adapt2 = ChannelCfg(puncture_blocks=(KB,)).build_adapt(code)
     assert len(adapt2.puncture) == Z
+
+
+class TestBG2:
+    """BG2-like low-rate cells (kb=10, rates down to 1/5) — the
+    registry's only coverage below rate 1/2."""
+
+    def test_structure_and_nesting(self):
+        from tpu_ldpc.codes.nrlike import KB2, M_BY_RATE2, M_MOTHER2
+
+        mother = make_nrlike_base_graph(Z, m=M_MOTHER2, kb=KB2)
+        for rate, m in M_BY_RATE2.items():
+            B = make_nrlike_base_graph(Z, m=m, kb=KB2)
+            assert np.array_equal(B, mother[:m, : KB2 + m])
+            assert count_4cycles(B, Z) == 0
+            for i in range(4, m):
+                assert B[i, KB2 + i] == 0  # degree-1 extension parity
+        # measured-essential BG2 shape: sparse punctured coverage and
+        # tapered extension degree (module docstring, r4 A/B)
+        punct_deg = (mother[:, 0] >= 0).sum() + (mother[:, 1] >= 0).sum()
+        assert punct_deg <= M_MOTHER2 // 2 + 8
+        deep_deg = [(mother[i, 2:KB2] >= 0).sum() for i in range(16, 42)]
+        assert max(deep_deg) == 2
+
+    def test_full_rank_and_rates(self):
+        from tpu_ldpc.codes.dmin import gf2_nullspace_basis
+        from tpu_ldpc.codes.nrlike import KB2, M_BY_RATE2
+
+        for rate, m in M_BY_RATE2.items():
+            code = nrlike_code(rate, Z, bg=2)
+            assert code.name == f"nr2_r{rate.replace('/', '')}_z{Z}"
+            assert gf2_nullspace_basis(code.H).shape[0] == code.k
+            assert tx_rate(code) == pytest.approx(KB2 / (KB2 + m - 2))
+
+    def test_low_rate_decodes_with_minsum(self):
+        """The regression the BG2 shape exists to prevent: NORMALIZED
+        MIN-SUM (not just SP) decodes the rate-1/5 mother at a
+        moderate SNR.  The dense/uniform BG1 recipe measured FER 1.0
+        here while SP decoded — a min-sum-specific structural
+        failure."""
+        from tpu_ldpc.sim.mc import DecodeCfg, run_ber
+
+        code = nrlike_code("1/5", Z, bg=2)
+        cfg = DecodeCfg(algo="minsum", iters=50, impl="jnp")
+        r = run_ber(code, [2.5], cfg=cfg, target_frame_errors=8,
+                    max_frames=256, batch=64,
+                    adapt=nrlike_adapt(code))[0]
+        assert r.fer < 0.1, (r.fer, r.mean_iters)
+        assert r.mean_iters < 40
+
+    def test_cli_builds_nr2(self):
+        from tpu_ldpc.cli.config import ChannelCfg, CodeSpec
+
+        code = CodeSpec(family="nr2", rate="2/5", Z=Z).build()
+        assert code.name == f"nr2_r25_z{Z}"
+        adapt = ChannelCfg().build_adapt(code)
+        assert adapt is not None and len(adapt.puncture) == 2 * Z

@@ -14,7 +14,8 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser(description="tpu-ldpc code construction")
     p.add_argument("--family", default="judged",
-                   choices=["judged", "wifi", "wimax", "nr", "custom"])
+                   choices=["judged", "wifi", "wimax", "nr", "nr2",
+                            "custom"])
     p.add_argument("--rate", default="1/2")
     p.add_argument("--z", type=int, default=64)
     p.add_argument("--mb", type=int, help="custom: base rows")
@@ -54,10 +55,11 @@ def main(argv=None):
 
     if args.family == "judged":
         code = LdpcCode.judged()
-    elif args.family == "nr":
+    elif args.family in ("nr", "nr2"):
         from tpu_ldpc.codes.nrlike import nrlike_code
 
-        code = nrlike_code(args.rate, args.z)
+        code = nrlike_code(args.rate, args.z,
+                           bg=2 if args.family == "nr2" else 1)
     elif args.family == "custom":
         if args.pexit:
             from tpu_ldpc.codes.base_graphs import build_from_mask

@@ -20,7 +20,7 @@ class CodeSpec:
     """Which code to build: a registry family cell, an SC chain, an
     alist import, or the judged code."""
 
-    family: str = "judged"   # 'judged' | 'wifi' | 'wimax' | 'nr' | 'sc' | 'alist'
+    family: str = "judged"   # 'judged' | 'wifi' | 'wimax' | 'nr' | 'nr2' | 'sc' | 'alist'
     rate: str = "1/2"
     Z: int = 64
     path: str = ""           # for family='alist'
@@ -31,13 +31,16 @@ class CodeSpec:
 
         if self.family == "judged":
             return LdpcCode.judged()
-        if self.family == "nr":
-            # NR-like rate-compatible family (codes/nrlike.py); its
+        if self.family in ("nr", "nr2"):
+            # NR-like rate-compatible families (codes/nrlike.py); the
             # first two systematic blocks are meant to be punctured at
-            # transmission — ChannelCfg.build_adapt defaults that in
+            # transmission — ChannelCfg.build_adapt defaults that in.
+            # 'nr' = BG1-like (kb=22, rates 1/2..5/6); 'nr2' =
+            # BG2-like (kb=10, short blocks, rates down to 1/5)
             from tpu_ldpc.codes.nrlike import nrlike_code
 
-            return nrlike_code(self.rate, self.Z)
+            return nrlike_code(self.rate, self.Z,
+                               bg=2 if self.family == "nr2" else 1)
         if self.family == "alist":
             from tpu_ldpc.codes.alist import load_alist
 
@@ -67,7 +70,7 @@ class ChannelCfg:
         high-degree systematic blocks are never transmitted — unless
         the config specifies an adaptation explicitly."""
         if not self.puncture_blocks and not self.shorten_blocks:
-            if code.name.startswith("nr1_"):
+            if code.name.startswith(("nr1_", "nr2_")):
                 from tpu_ldpc.codes.nrlike import nrlike_adapt
 
                 return nrlike_adapt(code)

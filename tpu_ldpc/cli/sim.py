@@ -22,7 +22,7 @@ def build_parser():
                    help="dotted config override, e.g. decode.alpha=0.8")
     # common shortcuts (equivalent to --set forms)
     p.add_argument("--family", choices=["judged", "wifi", "wimax", "nr",
-                                        "sc", "alist"])
+                                        "nr2", "sc", "alist"])
     p.add_argument("--sc-length", type=int, help="SC chain length L (family=sc)")
     p.add_argument("--rate")
     p.add_argument("--z", type=int)

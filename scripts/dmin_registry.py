@@ -50,6 +50,9 @@ def cells():
     for rate in ("1/2", "2/3", "3/4", "5/6"):
         code = nrlike_code(rate, 64)
         yield (code.name, code)
+    for rate in ("1/5", "2/7", "2/5", "1/2", "2/3"):
+        code = nrlike_code(rate, 64, bg=2)
+        yield (code.name, code)
 
 
 def _write_atomic(rows):

@@ -18,6 +18,7 @@ CURVES = [
     ("wimax_r12_z96 minsum-50", "wimax_r12_z96_minsum50.csv"),
     ("nr1_r12_z64 minsum-50 (punctured)", "nr1_r12_z64_minsum50.csv"),
     ("nr1_r56_z64 minsum-50 (punctured)", "nr1_r56_z64_minsum50.csv"),
+    ("nr2_r15_z64 rate-1/5 (punctured)", "nr2_r15_z64_minsum50.csv"),
 ]
 
 

@@ -150,3 +150,22 @@ def test_twophase_vmem_rejected_falls_back_with_warning(monkeypatch):
     llr = np.full((8, code.n), 4.0, np.float32)
     bits, ok, iu = fn(llr)
     assert np.asarray(bits).shape == (8, code.n)
+
+
+def test_low_rate_derived_band():
+    """Low-rate cells converge much slower (nr2_r15 mean ~11 layered
+    iters at its operating point): the derived fallback must not hand
+    them the rate-1/2 K=9, which overflows every dispatch."""
+    lo = LdpcCode.from_base_graph(
+        make_base_graph(16, 20, 8, seed=5), 8, "custom_low_rate")
+    assert lo.rate < 0.35
+    k, b, src = resolve_twophase_knobs(lo, "layered", None, None)
+    assert (k, b, src) == (14, 512, "derived")
+
+
+def test_nr2_flagship_measured_knobs():
+    from tpu_ldpc.codes.nrlike import nrlike_code
+
+    code = nrlike_code("1/5", 64, bg=2)
+    assert resolve_twophase_knobs(code, "layered", None, None) == (
+        14, 1280, "registry")

@@ -44,12 +44,17 @@ def _load_table() -> dict:
 def _derived_k(rate: float, schedule: str) -> int:
     """Rate-derived phase-1 budget for cells without measured knobs.
 
-    Layered anchors (measured): rate 1/2 -> K 9-10, rate 5/6 -> K 7.
-    Flooding converges ~2x slower per iteration (layered-25 ==
+    Layered anchors (measured): rate 1/5 -> K 14 (low-rate BP
+    converges MUCH slower — nr2_r15 mean 11 layered iters at its
+    operating point vs ~6.5 for rate-1/2 cells; the old rate-1/2 K=9
+    would overflow every dispatch), rate 1/2 -> K 9-10, rate 5/6 ->
+    K 7.  Flooding converges ~2x slower per iteration (layered-25 ==
     flooding-50 FER), so its K is ~2x the layered value (judged
     flooding measured K=16 vs layered K=9).
     """
-    if rate < 0.58:
+    if rate < 0.35:
+        k = 14
+    elif rate < 0.58:
         k = 9
     elif rate < 0.79:
         k = 8

@@ -52,12 +52,32 @@ FIELDS = ["cell", "n", "k", "Z", "rate", "ebn0_db", "frames", "fer",
 
 
 def cells():
-    yield ("judged", None, None, None, "1/2")
+    """Yields (cell_name, build_fn, rate_label, ebn0_db)."""
+    from tpu_ldpc.codes import LdpcCode
+    from tpu_ldpc.codes.nrlike import nrlike_code
+
+    yield ("judged", LdpcCode.judged, "1/2", EBN0_BY_RATE["1/2"])
     for fam, lifts in (("wifi", (27, 54, 81)), ("wimax", (24, 48, 96))):
         for rate in ("1/2", "2/3", "3/4", "5/6"):
             for z in lifts:
                 yield (f"{fam}_r{rate.replace('/', '')}_z{z}",
-                       fam, rate, z, rate)
+                       (lambda f=fam, r=rate, zz=z:
+                        LdpcCode.from_family(f, r, zz)),
+                       rate, EBN0_BY_RATE[rate])
+    # NR-like cells (codes/nrlike.py): validated on the UNPUNCTURED
+    # mother channel (the bit-exactness contract is decoder-level and
+    # channel-independent; FER here is therefore NOT the family's
+    # punctured operating curve — see artifacts/nr*_minsum50.csv for
+    # those).  Eb/N0 per nominal mother rate keeps the point in a
+    # sane waterfall region.
+    nr_ebn0 = {"1/5": 1.2, "2/7": 1.5, "2/5": 2.0, "1/2": 1.8,
+               "2/3": 2.4, "3/4": 2.8, "5/6": 3.6}
+    for bg, rates in ((1, ("1/2", "2/3", "3/4", "5/6")),
+                      (2, ("1/5", "2/7", "2/5", "1/2", "2/3"))):
+        for rate in rates:
+            yield (f"nr{bg}_r{rate.replace('/', '')}_z64",
+                   (lambda r=rate, b=bg: nrlike_code(r, 64, bg=b)),
+                   rate, nr_ebn0[rate])
 
 
 def _load_rows():
@@ -100,7 +120,7 @@ def main():
 
     rows = _load_rows()
     n_fail = 0
-    for cell, fam, rate, z, rate_str in cells():
+    for cell, build_fn, rate_str, ebn0 in cells():
         prev = rows.get(cell)
         if (prev and prev["bitexact"] == "True"
                 and (int(prev["frames"]) >= MIN_FRAMES
@@ -109,9 +129,7 @@ def main():
             print(f"{cell}: already validated "
                   f"({prev['frames']} frames), skip", flush=True)
             continue
-        code = (LdpcCode.judged() if fam is None
-                else LdpcCode.from_family(fam, rate, z))
-        ebn0 = EBN0_BY_RATE[rate_str] if fam is None else EBN0_BY_RATE[rate]
+        code = build_fn()
         # paired seed: one fixed stream per cell name (crc32 is
         # deterministic across processes, unlike str hash); chunk c
         # folds the chunk index in so every chunk is fresh noise

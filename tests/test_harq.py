@@ -52,3 +52,14 @@ def test_irharq_easy_snr_single_transmission():
     assert res.residual_fer == 0.0
     assert res.avg_bits_sent == res.stages[0]["n_tx_cum"]
     assert res.avg_info_rate == pytest.approx(res.stages[0]["rate_cum"])
+
+
+def test_irharq_bg2_deep_extension():
+    """BG2 IR-HARQ spans rate 2/3 down to 1/5: at an SNR hopeless for
+    the first transmission, deep increments still deliver frames."""
+    res = run_irharq(Z=Z, stage_m=(7, 17, 42), ebn0_db=0.5, batch=64,
+                     iters=40, seed=4, bg=2)
+    fers = [s["fer_after"] for s in res.stages]
+    assert all(a >= b for a, b in zip(fers, fers[1:]))
+    assert fers[-1] < fers[0]
+    assert res.stages[-1]["rate_cum"] == pytest.approx(10 / 50)

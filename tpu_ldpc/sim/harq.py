@@ -28,7 +28,13 @@ from typing import Sequence
 
 import numpy as np
 
-from tpu_ldpc.codes.nrlike import KB, M_MOTHER, make_nrlike_base_graph
+from tpu_ldpc.codes.nrlike import (
+    KB,
+    KB2,
+    M_MOTHER,
+    M_MOTHER2,
+    make_nrlike_base_graph,
+)
 
 
 @dataclasses.dataclass
@@ -55,6 +61,7 @@ def run_irharq(
     alpha: float = 0.75,
     seed: int = 0,
     impl: str = "jnp",
+    bg: int = 1,
 ) -> HarqResult:
     """Simulate per-lane IR-HARQ: first transmission at stage_m[0]'s
     rate, one parity increment per later stage.
@@ -75,11 +82,13 @@ def run_irharq(
     from tpu_ldpc.golden import encode as golden_encode
     from tpu_ldpc.sim.mc import DecodeCfg
 
+    kb = KB if bg == 1 else KB2
+    m_mother = M_MOTHER if bg == 1 else M_MOTHER2
     stage_m = sorted(set(int(m) for m in stage_m))
-    if stage_m[0] < 4 or stage_m[-1] > M_MOTHER:
-        raise ValueError(f"stage_m must lie in [4, {M_MOTHER}]")
-    mother = LdpcCode(f"nr1_m{M_MOTHER}_z{Z}",
-                      make_nrlike_base_graph(Z, m=M_MOTHER), Z)
+    if stage_m[0] < 4 or stage_m[-1] > m_mother:
+        raise ValueError(f"stage_m must lie in [4, {m_mother}]")
+    mother = LdpcCode(f"nr{bg}_m{m_mother}_z{Z}",
+                      make_nrlike_base_graph(Z, m=m_mother, kb=kb), Z)
     k = mother.k
     rng = np.random.default_rng(seed)
     u = rng.integers(0, 2, (batch, k)).astype(np.uint8)
@@ -87,7 +96,7 @@ def run_irharq(
     x = 1.0 - 2.0 * c.astype(np.float64)
 
     # Eb/N0 -> sigma referenced to the first transmission's tx rate
-    r1 = k / ((KB + stage_m[0] - 2) * Z)
+    r1 = k / ((kb + stage_m[0] - 2) * Z)
     sigma2 = noise_sigma2(ebn0_db, r1)
     llr_full = ((2.0 / sigma2) * (
         x + np.sqrt(sigma2) * rng.normal(size=x.shape))
@@ -98,9 +107,9 @@ def run_irharq(
     delivered_at = np.full(batch, -1, dtype=np.int64)  # stage index
     stages = []
     for si, m in enumerate(stage_m):
-        n_m = (KB + m) * Z
-        code_m = LdpcCode(f"nr1_m{m}_z{Z}",
-                          make_nrlike_base_graph(Z, m=m), Z)
+        n_m = (kb + m) * Z
+        code_m = LdpcCode(f"nr{bg}_m{m}_z{Z}",
+                          make_nrlike_base_graph(Z, m=m, kb=kb), Z)
         # accumulated observations: all transmitted positions so far;
         # positions of THIS truncation not yet sent (none, by
         # construction) and the punctured pair stay erased (LLR 0)

@@ -116,8 +116,15 @@ def main():
         "gen_ms": m["gen_ms"],
     }
     if on_tpu:
-        _extras_sweep(extras, timer, build, code, batch, iters)
-        _rescue_missing_extras(extras)
+        # umbrella guard: per-extra failures are handled inside, but an
+        # exception escaping the sweep scaffolding or the rescue merge
+        # must never crash bench.py after the headline went out — the
+        # stderr extras line and the zero exit are part of the capture
+        try:
+            _extras_sweep(extras, timer, build, code, batch, iters)
+            _rescue_missing_extras(extras)
+        except Exception as e:
+            extras["extras_error"] = repr(e)
     print(json.dumps(extras), file=sys.stderr)
 
 
@@ -144,7 +151,13 @@ def _rescue_missing_extras(extras):
     THAT process fails too — the in-process health-check+retry cannot
     recover, but a new process with a clean runtime handle can.  One
     rerun captured a headline of 1.12 with ALL 10 extras dead this
-    way)."""
+    way).
+
+    Concurrency note: the parent's runtime handle stays open while the
+    child measures, but the parent dispatches NOTHING during the wait —
+    the one-TPU-process-at-a-time landmine (CLAUDE.md) is about two
+    processes actively measuring, and the one live rescue showed clean
+    numbers (2.347, matching in-process captures)."""
     import os
     import subprocess
 

@@ -84,14 +84,18 @@ def main():
     for code, ebn0 in all_cells():
                 cell = code.name
                 prior = knobs["cells"].get(cell, {}).get("layered")
-                if cell in results["cells"]:
-                    print(f"{cell}: done this sweep, skip", flush=True)
-                    continue
-                if (prior and "measured" in prior.get("source", "")
-                        and not retune):
-                    print(f"{cell}: measured metadata exists, skip",
-                          flush=True)
-                    continue
+                # --retune overrides BOTH skip conditions (review r4:
+                # the artifact-resume check used to fire first, making
+                # --retune a no-op after any completed sweep)
+                if not retune:
+                    if cell in results["cells"]:
+                        print(f"{cell}: done this sweep, skip",
+                              flush=True)
+                        continue
+                    if prior and "measured" in prior.get("source", ""):
+                        print(f"{cell}: measured metadata exists, skip",
+                              flush=True)
+                        continue
                 t0 = time.time()
                 try:
                     K, budget, stats = tune_phase1_iters(

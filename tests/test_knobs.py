@@ -160,7 +160,9 @@ def test_low_rate_derived_band():
         make_base_graph(16, 20, 8, seed=5), 8, "custom_low_rate")
     assert lo.rate < 0.35
     k, b, src = resolve_twophase_knobs(lo, "layered", None, None)
-    assert (k, b, src) == (14, 512, "derived")
+    # budget 1280 (not the rate>=1/2 512): the nr2_r15 anchor measured
+    # 612 stragglers past K — 512 would overflow every dispatch
+    assert (k, b, src) == (14, 1280, "derived")
 
 
 def test_nr2_flagship_measured_knobs():

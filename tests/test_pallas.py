@@ -292,3 +292,29 @@ def test_vmem_overrun_drops_normalization_first(monkeypatch):
     monkeypatch.setattr(pb, "VMEM_BUDGET_BYTES", base - 1)
     with pytest.raises(NotImplementedError):
         pb.build_pallas_decoder(code, iters=4, interpret=True)
+
+
+def test_layered_not_billed_for_flooding_scratch(monkeypatch):
+    """The normalization L scratch exists only on the flooding path;
+    layered builds near the budget must NOT drop normalization (or
+    halve the tile) for memory that is never allocated (review r4:
+    nr1_r12_z64 layered fits at 11.22 MB but was billed 12.73)."""
+    import tpu_ldpc.decode.pallas_bp as pb
+
+    code = toy_code()
+    base = code.layout.vmem_bytes(128)
+    monkeypatch.setattr(pb, "VMEM_BUDGET_BYTES", base)  # no scratch room
+    called = {}
+    real = pb._normalize_offsets
+
+    def spy(lay):
+        called["yes"] = True
+        return real(lay)
+
+    monkeypatch.setattr(pb, "_normalize_offsets", spy)
+    pb.build_pallas_decoder(code, iters=3, schedule="layered",
+                            interpret=True)
+    assert called.get("yes"), (
+        "layered build dropped normalization under a budget that its "
+        "real footprint fits — the flooding-only scratch is being "
+        "charged schedule-blind again")

@@ -134,10 +134,17 @@ def main(argv=None):
     code = CodeSpec(family=args.family, rate=args.rate, Z=args.z).build()
 
     if args.ebn0 is None:
-        from tpu_ldpc.decode.knobs import _load_table
+        # the metadata operating point applies ONLY to impl=twophase
+        # (its knobs were tuned at that point and overflow elsewhere);
+        # every other impl keeps the documented 2.0 default so numbers
+        # stay comparable with prior captures (review r4)
+        if args.impl == "twophase":
+            from tpu_ldpc.decode.knobs import _load_table
 
-        entry = _load_table().get(code.name, {}).get(args.schedule)
-        args.ebn0 = (entry or {}).get("ebn0_db", 2.0)
+            entry = _load_table().get(code.name, {}).get(args.schedule)
+            args.ebn0 = (entry or {}).get("ebn0_db", 2.0)
+        else:
+            args.ebn0 = 2.0
 
     ctx = None
     if args.profile:
@@ -153,7 +160,7 @@ def main(argv=None):
         ctx.__exit__(None, None, None)
 
     rec = {
-        "code": code.name, "n": code.n, "k": code.k,
+        "code": code.name, "n": code.n, "k": code.k, "ebn0_db": args.ebn0,
         "algo": args.algo, "iters": args.iters, "schedule": args.schedule,
         "early_stop": args.early_stop, "batch": args.batch,
         "backend": jax.default_backend(), "n_devices": jax.device_count(),

@@ -70,7 +70,13 @@ class ChannelCfg:
         high-degree systematic blocks are never transmitted — unless
         the config specifies an adaptation explicitly."""
         if not self.puncture_blocks and not self.shorten_blocks:
-            if code.name.startswith(("nr1_", "nr2_")):
+            import re
+
+            # exact registry-cell names only (nr1_r12_z64 etc.): the
+            # HARQ mother codes (nr1_m24_z64) and user codes whose
+            # names merely start with the prefix must NOT be silently
+            # punctured (review r4)
+            if re.fullmatch(r"nr[12]_r\d+_z\d+", code.name):
                 from tpu_ldpc.codes.nrlike import nrlike_adapt
 
                 return nrlike_adapt(code)

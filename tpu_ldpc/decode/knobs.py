@@ -63,6 +63,16 @@ def _derived_k(rate: float, schedule: str) -> int:
     return k if schedule == "layered" else 2 * k - 2
 
 
+def _derived_budget(rate: float) -> int:
+    """Derived compaction budget.  512 is conservative for rate >=
+    ~1/2 cells, but the low-rate anchor (nr2_r15) measured 612
+    stragglers past its tuned K — a 512 budget there would overflow
+    on essentially EVERY dispatch (the exact 2x cliff this module
+    exists to prevent), so the low-rate band carries the measured
+    ~1280 need (review r4)."""
+    return 1280 if rate < 0.35 else 512
+
+
 def resolve_twophase_knobs(code, schedule: str,
                            phase1_iters: int | None,
                            compact_budget: int | None):
@@ -85,5 +95,6 @@ def resolve_twophase_knobs(code, schedule: str,
     rate = float(getattr(code, "rate", 0.5))
     k = (phase1_iters if phase1_iters is not None
          else _derived_k(rate, schedule))
-    b = compact_budget if compact_budget is not None else 512
+    b = (compact_budget if compact_budget is not None
+         else _derived_budget(rate))
     return int(k), int(b), "derived"

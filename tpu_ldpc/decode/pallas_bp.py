@@ -384,9 +384,14 @@ def build_pallas_decoder(
 
     def state_bytes(bt):
         # + one (nb, Z, bt) rotated/rescaled-L scratch when normalization
-        # or rescaling is on (flooding; see the kernel init)
+        # or rescaling is on — FLOODING ONLY (has_lrot below): the
+        # layered path never allocates it, and charging it anyway made
+        # layered codes near the budget lose normalization (or halve
+        # batch_tile) for memory that is never allocated (review r4:
+        # nr1_r12_z64 layered fits at 11.22 MB but was billed 12.73)
         extra = (nb * Z * 4 * bt
-                 if ((normalize or rescaled) and not compressed) else 0)
+                 if ((normalize or rescaled) and not compressed
+                     and schedule == "flooding") else 0)
         return lay.vmem_bytes(bt) + extra
 
     while batch_tile > 128 and state_bytes(batch_tile) > VMEM_BUDGET_BYTES:

@@ -14,8 +14,22 @@ chunks) until >= 20 frame errors or MAX_FRAMES, so every CI is within
 
 Write protocol (ADVICE r3): the CSV is rewritten ATOMICALLY (temp +
 os.replace) keeping exactly ONE row per cell — the latest.  Resume
-skips cells whose recorded row is bitexact=True AND meets the frame
-budget; stale failure rows are replaced, never duplicated.
+skips cells whose recorded row is bitexact=True AND meets the SAME
+stopping criterion as a fresh run (>= MIN_FRAMES and (>= TARGET_FE
+frame errors or >= MAX_FRAMES) — ADVICE r4: the old OR-condition kept
+stale thin rows); stale failure rows are replaced, never duplicated.
+
+r5 (VERDICT r4 #2): MAX_FRAMES raised 16384 -> 131072 so the four
+statistically thin NR cells (worst CI span 6.6x) reach the 20-FE
+target; compile is amortized across chunks so the cost is linear in
+frames only.
+
+r5 (VERDICT r4 #3): a second pass validates the 9 NR cells at their
+OPERATING condition — the always-punctured first-two-blocks channel
+(codes/nrlike.nrlike_adapt), Eb/N0 referenced to the true transmitted
+rate k/(n-2Z) at each family's advertised waterfall point — writing
+artifacts/nr_operating_validation.csv (same bit-exactness gate; the
+FER column is now the number a user of the family operates at).
 
 Run: repo cwd, real TPU required:
     timeout 7200 python scripts/registry_tpu_validation.py
@@ -33,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "registry_tpu_validation.csv")
+NR_OUT = os.path.join(os.path.dirname(OUT), "nr_operating_validation.csv")
 
 # Eb/N0 per rate: near the min-sum-50 FER~1e-2 operating point for the
 # mid lifts (family tables, BASELINE.md) so the FER column is a
@@ -41,7 +56,7 @@ EBN0_BY_RATE = {"1/2": 1.8, "2/3": 2.4, "3/4": 2.8, "5/6": 3.6}
 
 CHUNK = 512
 MIN_FRAMES = 4096
-MAX_FRAMES = 16384
+MAX_FRAMES = 131072
 TARGET_FE = 20
 ITERS = 50
 ALPHA = 0.75
@@ -80,19 +95,34 @@ def cells():
                    rate, nr_ebn0[rate])
 
 
-def _load_rows():
+def nr_operating_cells():
+    """The 9 NR cells at their OPERATING (punctured) condition: Eb/N0
+    at each family's advertised waterfall point, referenced to the
+    true transmitted rate (BASELINE.md NR sections; unknown mid-rate
+    cells interpolated into the waterfall region)."""
+    from tpu_ldpc.codes.nrlike import nrlike_code
+
+    points = {(1, "1/2"): 1.6, (1, "2/3"): 2.4, (1, "3/4"): 2.8,
+              (1, "5/6"): 3.4, (2, "1/5"): 1.0, (2, "2/7"): 1.3,
+              (2, "2/5"): 1.7, (2, "1/2"): 2.0, (2, "2/3"): 2.6}
+    for (bg, rate), ebn0 in points.items():
+        yield (f"nr{bg}_r{rate.replace('/', '')}_z64",
+               (lambda r=rate, b=bg: nrlike_code(r, 64, bg=b)),
+               rate, ebn0)
+
+
+def _load_rows(path):
     """Latest row per cell from the existing CSV (stale rows dropped)."""
     rows = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
+    if os.path.exists(path):
+        with open(path) as f:
             for r in csv.DictReader(f):
                 rows[r["cell"]] = r  # later rows win
     return rows
 
 
-def _write_atomic(rows):
-    order = [c for c, *_ in cells()]
-    tmp = OUT + ".tmp"
+def _write_atomic(rows, path, order):
+    tmp = path + ".tmp"
     with open(tmp, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)
         w.writeheader()
@@ -102,7 +132,18 @@ def _write_atomic(rows):
         for cell, r in rows.items():  # unknown cells, if any, kept last
             if cell not in order:
                 w.writerow(r)
-    os.replace(tmp, OUT)
+    os.replace(tmp, path)
+
+
+def _done(prev):
+    """True iff a recorded row meets the SAME stopping criterion a
+    fresh run uses (ADVICE r4: resume must not keep thinner rows)."""
+    if not prev or prev["bitexact"] != "True":
+        return False
+    frames = int(prev["frames"])
+    fe = round(float(prev["fer"]) * frames)
+    return frames >= MIN_FRAMES and (fe >= TARGET_FE
+                                     or frames >= MAX_FRAMES)
 
 
 def main():
@@ -118,66 +159,79 @@ def main():
 
     assert jax.default_backend() == "tpu", jax.default_backend()
 
-    rows = _load_rows()
     n_fail = 0
-    for cell, build_fn, rate_str, ebn0 in cells():
-        prev = rows.get(cell)
-        if (prev and prev["bitexact"] == "True"
-                and (int(prev["frames"]) >= MIN_FRAMES
-                     or float(prev["fer"]) * int(prev["frames"])
-                     >= TARGET_FE)):
-            print(f"{cell}: already validated "
-                  f"({prev['frames']} frames), skip", flush=True)
-            continue
-        code = build_fn()
-        # paired seed: one fixed stream per cell name (crc32 is
-        # deterministic across processes, unlike str hash); chunk c
-        # folds the chunk index in so every chunk is fresh noise
-        sigma2 = noise_sigma2(ebn0, code.rate)
-        dec = build_pallas_decoder(code, algo="minsum", iters=ITERS,
-                                   alpha=ALPHA, early_stop=True)
-        t0 = time.perf_counter()
-        frames = fe = 0
-        iters_sum = 0.0
-        bitexact = True
-        while frames < MAX_FRAMES and (fe < TARGET_FE
-                                       or frames < MIN_FRAMES):
-            ci = frames // CHUNK
-            rng = np.random.default_rng(
-                zlib.crc32(f"{cell}/{ci}".encode()))
-            u = rng.integers(0, 2, (CHUNK, code.k)).astype(np.uint8)
-            c = golden_encode(code.H, u)
-            x = 1.0 - 2.0 * c.astype(np.float64)
-            llr = ((2.0 / sigma2) * (x + np.sqrt(sigma2)
-                   * rng.normal(size=x.shape))).astype(np.float32)
-            tb, tok, tiu = map(np.asarray, jax.block_until_ready(
-                dec(jnp.asarray(llr))))
-            nb_, nok, niu = minsum_decode(code.H, llr, iters=ITERS,
-                                          alpha=ALPHA)
-            bitexact &= (np.array_equal(tb, nb_)
-                         and np.array_equal(tok, nok)
-                         and np.array_equal(tiu, niu))
-            fe += int((tb[:, :code.k] != u).any(axis=1).sum())
-            iters_sum += float(tiu.sum())
-            frames += CHUNK
-        # host-side wall time incl. compile and dispatch RTT — a
-        # provenance record ONLY, never a throughput number (CLAUDE.md:
-        # host-side per-call TPU timing is meaningless; bench.py times)
-        wall_ms = (time.perf_counter() - t0) * 1e3
-        lo, hi = wilson_interval(fe, frames)
-        rows[cell] = dict(
-            cell=cell, n=code.n, k=code.k, Z=code.Z, rate=rate_str,
-            ebn0_db=ebn0, frames=frames, fer=round(fe / frames, 6),
-            fer_lo=round(lo, 6), fer_hi=round(hi, 6), bitexact=bitexact,
-            mean_iters=round(iters_sum / frames, 2),
-            wall_ms_incl_compile=round(wall_ms, 1),
-            ts=time.strftime("%Y-%m-%d %H:%M"))
-        _write_atomic(rows)
-        n_fail += not bitexact
-        print(f"{cell}: bitexact={bitexact} fer={fe}/{frames} "
-              f"[{lo:.4g},{hi:.4g}] mean_iters={rows[cell]['mean_iters']}",
-              flush=True)
 
+    def run_pass(work, out_path, punctured):
+        nonlocal n_fail
+        rows = _load_rows(out_path)
+        order = [c for c, *_ in work]
+        for cell, build_fn, rate_str, ebn0 in work:
+            prev = rows.get(cell)
+            if _done(prev):
+                print(f"{cell}: already validated "
+                      f"({prev['frames']} frames), skip", flush=True)
+                continue
+            code = build_fn()
+            # paired seed: one fixed stream per cell name (crc32 is
+            # deterministic across processes, unlike str hash); chunk
+            # c folds the chunk index in so every chunk is fresh noise
+            if punctured:
+                # operating condition: first 2Z positions never sent;
+                # Eb/N0 references the true transmitted rate
+                n_punct = 2 * code.Z
+                sigma2 = noise_sigma2(ebn0, code.k / (code.n - n_punct))
+            else:
+                n_punct = 0
+                sigma2 = noise_sigma2(ebn0, code.rate)
+            dec = build_pallas_decoder(code, algo="minsum", iters=ITERS,
+                                       alpha=ALPHA, early_stop=True)
+            t0 = time.perf_counter()
+            frames = fe = 0
+            iters_sum = 0.0
+            bitexact = True
+            while frames < MAX_FRAMES and (fe < TARGET_FE
+                                           or frames < MIN_FRAMES):
+                ci = frames // CHUNK
+                rng = np.random.default_rng(
+                    zlib.crc32(f"{cell}/{ci}".encode()))
+                u = rng.integers(0, 2, (CHUNK, code.k)).astype(np.uint8)
+                c = golden_encode(code.H, u)
+                x = 1.0 - 2.0 * c.astype(np.float64)
+                llr = ((2.0 / sigma2) * (x + np.sqrt(sigma2)
+                       * rng.normal(size=x.shape))).astype(np.float32)
+                llr[:, :n_punct] = 0.0  # erased, never transmitted
+                tb, tok, tiu = map(np.asarray, jax.block_until_ready(
+                    dec(jnp.asarray(llr))))
+                nb_, nok, niu = minsum_decode(code.H, llr, iters=ITERS,
+                                              alpha=ALPHA)
+                bitexact &= (np.array_equal(tb, nb_)
+                             and np.array_equal(tok, nok)
+                             and np.array_equal(tiu, niu))
+                fe += int((tb[:, :code.k] != u).any(axis=1).sum())
+                iters_sum += float(tiu.sum())
+                frames += CHUNK
+            # host-side wall time incl. compile and dispatch RTT — a
+            # provenance record ONLY, never a throughput number
+            # (CLAUDE.md: host-side per-call TPU timing is
+            # meaningless; bench.py times)
+            wall_ms = (time.perf_counter() - t0) * 1e3
+            lo, hi = wilson_interval(fe, frames)
+            rows[cell] = dict(
+                cell=cell, n=code.n, k=code.k, Z=code.Z, rate=rate_str,
+                ebn0_db=ebn0, frames=frames, fer=round(fe / frames, 6),
+                fer_lo=round(lo, 6), fer_hi=round(hi, 6),
+                bitexact=bitexact,
+                mean_iters=round(iters_sum / frames, 2),
+                wall_ms_incl_compile=round(wall_ms, 1),
+                ts=time.strftime("%Y-%m-%d %H:%M"))
+            _write_atomic(rows, out_path, order)
+            n_fail += not bitexact
+            print(f"{cell}: bitexact={bitexact} fer={fe}/{frames} "
+                  f"[{lo:.4g},{hi:.4g}] "
+                  f"mean_iters={rows[cell]['mean_iters']}", flush=True)
+
+    run_pass(list(cells()), OUT, punctured=False)
+    run_pass(list(nr_operating_cells()), NR_OUT, punctured=True)
     print(f"DONE n_fail={n_fail}", flush=True)
     sys.exit(1 if n_fail else 0)
 

@@ -111,21 +111,39 @@ def main():
                     _dump_atomic(OUT, results)
                     print(f"{cell}: SKIP ({e})", flush=True)
                     continue
-                tp = build_twophase_decoder(
-                    code, iters=ITERS, phase1_iters=K, budget=budget,
-                    schedule="layered", algo="minsum", alpha=0.75)
-                t, _ = make_timer(code, BATCH, ebn0_db=ebn0, inner=60)
-                d = t.measure(tp, reps=3)["median_s"]
-                gbps = round(BATCH * code.k / d / 1e9, 3)
-                # real-noise fallback probe: n_unconv > budget would
-                # mean every timed dispatch paid the ~2x fallback
-                tpf = build_twophase_decoder(
-                    code, iters=ITERS, phase1_iters=K, budget=budget,
-                    schedule="layered", algo="minsum", alpha=0.75,
-                    report_fallback=True)
-                llr = t.scale * (t.xj + t.sig * jax.random.normal(
-                    jax.random.key(11), t.xj.shape, jnp.float32))
-                n_unconv = int(np.asarray(tpf(llr)[3]))
+                # ADVICE r4: on the NR cells, tune + benchcore measure
+                # in ONE process reproducibly faults the remote
+                # runtime (CLAUDE.md r4 landmine) — a crash here must
+                # not lose the rest of the sweep, so anything the
+                # measure throws is recorded and the loop continues
+                # (the tuned K/budget are still kept for a later
+                # split-process measure).
+                try:
+                    tp = build_twophase_decoder(
+                        code, iters=ITERS, phase1_iters=K, budget=budget,
+                        schedule="layered", algo="minsum", alpha=0.75)
+                    t, _ = make_timer(code, BATCH, ebn0_db=ebn0, inner=60)
+                    d = t.measure(tp, reps=3)["median_s"]
+                    gbps = round(BATCH * code.k / d / 1e9, 3)
+                    # real-noise fallback probe: n_unconv > budget would
+                    # mean every timed dispatch paid the ~2x fallback
+                    tpf = build_twophase_decoder(
+                        code, iters=ITERS, phase1_iters=K, budget=budget,
+                        schedule="layered", algo="minsum", alpha=0.75,
+                        report_fallback=True)
+                    llr = t.scale * (t.xj + t.sig * jax.random.normal(
+                        jax.random.key(11), t.xj.shape, jnp.float32))
+                    n_unconv = int(np.asarray(tpf(llr)[3]))
+                except Exception as e:  # noqa: BLE001 — remote fault
+                    results["cells"][cell] = {
+                        "error": f"{type(e).__name__}: {e}",
+                        "K": K, "budget": budget,
+                        "wall_s": round(time.time() - t0, 1)}
+                    _dump_atomic(OUT, results)
+                    print(f"{cell}: MEASURE FAILED "
+                          f"({type(e).__name__}: {e}) — tuned knobs "
+                          "recorded, continuing", flush=True)
+                    continue
                 row = {"n": code.n, "k": code.k, "ebn0_db": ebn0,
                        "K": K, "budget": budget, "tune_stats": stats,
                        "layered_twophase_gbps": gbps,

@@ -62,4 +62,41 @@ def test_irharq_bg2_deep_extension():
     fers = [s["fer_after"] for s in res.stages]
     assert all(a >= b for a, b in zip(fers, fers[1:]))
     assert fers[-1] < fers[0]
-    assert res.stages[-1]["rate_cum"] == pytest.approx(10 / 50)
+    # rate_cum counts PAYLOAD bits (default crc24 is overhead)
+    assert res.stages[-1]["rate_cum"] == pytest.approx(
+        res.k_payload / (50 * Z))
+    assert res.k_payload == 10 * Z - 24
+
+
+def test_irharq_crc_vs_genie_termination():
+    """CRC-gated delivery must agree with the genie wherever no false
+    ACK occurred (the CRC can only differ by false-ACKing), and the
+    genie cross-check column must account for every false ACK."""
+    crc_res = run_irharq(Z=Z, stage_m=(7, 13, 24), ebn0_db=1.0,
+                         batch=96, iters=30, seed=1)
+    genie = run_irharq(Z=Z, stage_m=(7, 13, 24), ebn0_db=1.0,
+                       batch=96, iters=30, seed=1, crc=None)
+    assert crc_res.crc == "crc24"
+    assert genie.crc is None and genie.false_acks == 0
+    assert crc_res.k_payload == genie.k_payload - 24
+    for s in crc_res.stages:
+        # genie column counts false ACKs as NOT delivered
+        assert s["fer_after_genie"] >= s["fer_after"]
+    assert 0 <= crc_res.false_ack_rate <= 1
+    # crc24 on a ~300-bit payload: a false ACK in 96 lanes would be
+    # astronomically unlucky — delivery should match the genie run's
+    # (same noise realization: identical payload RNG consumption
+    # differs, so compare rates loosely)
+    assert abs(crc_res.residual_fer - genie.residual_fer) < 0.25
+
+
+def test_irharq_crc_false_ack_detection_semantics():
+    """A wrong decode that the CRC catches keeps the lane
+    retransmitting: at hopeless SNR with crc, no lane may be marked
+    delivered-with-wrong-payload unless false_acks says so."""
+    res = run_irharq(Z=Z, stage_m=(7,), ebn0_db=-2.0, batch=64,
+                     iters=10, seed=3)
+    # fer_after_genie - fer_after == false_ack fraction, exactly
+    s = res.stages[-1]
+    assert s["fer_after_genie"] - s["fer_after"] == pytest.approx(
+        res.false_acks / res.frames)

@@ -104,7 +104,11 @@ def main(argv=None):
     p.add_argument("--rate", default="1/2")
     p.add_argument("--z", type=int, default=64)
     p.add_argument("--batch", type=int, default=4096)
-    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--iters", type=int, default=None,
+                   help="iteration budget (default: the cell's tuned "
+                        "registry metadata value for impl=twophase — "
+                        "the (K, budget) knobs were tuned AT that "
+                        "total-iters; else 50)")
     p.add_argument("--algo", default="minsum")
     p.add_argument("--schedule", default="flooding")
     p.add_argument("--early-stop", action="store_true")
@@ -133,18 +137,23 @@ def main(argv=None):
 
     code = CodeSpec(family=args.family, rate=args.rate, Z=args.z).build()
 
-    if args.ebn0 is None:
+    if args.ebn0 is None or args.iters is None:
         # the metadata operating point applies ONLY to impl=twophase
         # (its knobs were tuned at that point and overflow elsewhere);
-        # every other impl keeps the documented 2.0 default so numbers
-        # stay comparable with prior captures (review r4)
+        # every other impl keeps the documented defaults so numbers
+        # stay comparable with prior captures (review r4).  iters too
+        # (ADVICE r4): layered metadata is tuned at iters=25 — a
+        # default of 50 would halve the recorded gbps despite
+        # defaulting ebn0 from the same entry.
+        entry = None
         if args.impl == "twophase":
-            from tpu_ldpc.decode.knobs import _load_table
+            from tpu_ldpc.decode.knobs import registry_entry
 
-            entry = _load_table().get(code.name, {}).get(args.schedule)
+            entry = registry_entry(code, args.schedule)
+        if args.ebn0 is None:
             args.ebn0 = (entry or {}).get("ebn0_db", 2.0)
-        else:
-            args.ebn0 = 2.0
+        if args.iters is None:
+            args.iters = (entry or {}).get("iters", 50)
 
     ctx = None
     if args.profile:

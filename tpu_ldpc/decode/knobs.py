@@ -41,6 +41,22 @@ def _load_table() -> dict:
         return json.load(f).get("cells", {})
 
 
+def registry_entry(code, schedule: str) -> dict | None:
+    """Full registry metadata entry for (cell, schedule), or None.
+
+    Beyond (K, budget) the entry records the OPERATING CONTEXT the
+    knobs were tuned in — `iters` (total iteration budget) and
+    `ebn0_db` (tuned point).  Knobs are only valid near that context:
+    sweeping well below the tuned Eb/N0 overflows the phase-2 budget
+    on essentially every dispatch (correct but ~2x slower via the
+    full-batch fallback), and a different total-iters changes the
+    phase-1/phase-2 split the (K, budget) pair was chosen for
+    (ADVICE r4).  Callers defaulting an operating point (cli/bench)
+    should take iters AND ebn0_db from here, not just the knobs.
+    """
+    return _load_table().get(getattr(code, "name", ""), {}).get(schedule)
+
+
 def _derived_k(rate: float, schedule: str) -> int:
     """Rate-derived phase-1 budget for cells without measured knobs.
 

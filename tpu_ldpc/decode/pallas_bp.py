@@ -394,6 +394,7 @@ def build_pallas_decoder(
                      and schedule == "flooding") else 0)
         return lay.vmem_bytes(bt) + extra
 
+    requested_tile = batch_tile
     while batch_tile > 128 and state_bytes(batch_tile) > VMEM_BUDGET_BYTES:
         batch_tile //= 2
     if state_bytes(batch_tile) > VMEM_BUDGET_BYTES:
@@ -401,13 +402,15 @@ def build_pallas_decoder(
         # OPTIMIZATION, not a capability: when it alone pushes a big
         # code over the budget (e.g. nr1_r12_z64: 12.73 MB with it,
         # 11.22 without), drop normalization instead of rejecting —
-        # outputs are bit-exact either way (pure relabeling).
+        # outputs are bit-exact either way (pure relabeling).  Retry
+        # from the CALLER'S tile, not the halved one: without the
+        # scratch a larger tile may fit again (review r4).
         if normalize and not rescaled and not compressed and (
                 lay.vmem_bytes(batch_tile) <= VMEM_BUDGET_BYTES):
             return build_pallas_decoder(
                 code, algo=algo, iters=iters, alpha=alpha, beta=beta,
                 schedule=schedule, early_stop=early_stop,
-                batch_tile=batch_tile, exit_block=exit_block,
+                batch_tile=requested_tile, exit_block=exit_block,
                 normalize=False, unroll=unroll, rescaled=rescaled,
                 interpret=interpret, dtype=dtype, msg_dtype=msg_dtype,
                 compressed=compressed, quant_bits=quant_bits,

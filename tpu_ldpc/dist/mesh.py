@@ -66,6 +66,7 @@ def build_sharded_mc_step(
     axis: str = "mc",
     steps_per_call: int = 1,
     adapt=None,
+    crc=None,
 ):
     """Jitted SPMD MC step:
     (seed, snr_idx, ebn0_db, ctr0) -> psum'd counters.
@@ -80,7 +81,8 @@ def build_sharded_mc_step(
     """
     from tpu_ldpc.sim.mc import build_batch_fn
 
-    one_batch = build_batch_fn(code, cfg, per_device_batch, adapt)
+    one_batch = build_batch_fn(code, cfg, per_device_batch, adapt,
+                               crc=crc)
 
     def local_step(seed, snr_idx, ebn0_db, ctr0):
         dev = jax.lax.axis_index(axis)
@@ -124,6 +126,7 @@ def run_ber_sharded(
     steps_per_call: int | None = None,
     step_log: str | None = None,
     adapt=None,
+    crc=None,
 ):
     """Multi-device frame-error-targeted sweep (host loop of §3.3).
 
@@ -136,7 +139,7 @@ def run_ber_sharded(
         steps_per_call = default_steps_per_call()
     n_dev = mesh.size
     step = build_sharded_mc_step(
-        code, cfg, batch, mesh, axis, steps_per_call, adapt
+        code, cfg, batch, mesh, axis, steps_per_call, adapt, crc
     )
     results = []
     for snr_idx, ebn0 in enumerate(ebn0_grid):

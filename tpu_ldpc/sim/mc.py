@@ -58,10 +58,12 @@ class DecodeCfg:
 
 COUNTER_FIELDS = (
     "frames",
-    "bit_errors",      # over info bits
+    "bit_errors",      # over info bits (payload bits when CRC-gated)
     "frame_errors",    # any info bit wrong
-    "detected",        # decoder reported not-ok (syndrome unsatisfied)
-    "undetected",      # syndrome ok but wrong codeword
+    "detected",        # decoder reported not-ok (syndrome unsatisfied);
+    #                    CRC-gated runs: outer CRC FAILED
+    "undetected",      # syndrome ok but wrong codeword; CRC-gated
+    #                    runs: CRC PASSED on a wrong payload (false ACK)
     "iter_sum",        # sum of iters_used
 )
 
@@ -125,7 +127,7 @@ _FAULT_HOOK = None
 
 
 def build_batch_fn(code: LdpcCode, cfg: DecodeCfg, batch: int,
-                   adapt=None, fault_hook=None):
+                   adapt=None, fault_hook=None, crc=None):
     """Shared per-batch MC kernel: (key, ebn0_db) -> (6,) int32 counters.
 
     Used by both the single-device (build_mc_step) and sharded
@@ -135,30 +137,65 @@ def build_batch_fn(code: LdpcCode, cfg: DecodeCfg, batch: int,
     punctured positions and saturates shortened ones, and Eb/N0 is
     referenced to the effective rate k_eff/n_tx.  `.k` on the returned
     function is the effective info bits counted per frame.
+
+    crc (codes/crc.py name or CrcSpec, VERDICT r4 #1): when set, the
+    info block is [payload | crc(payload)] (payload random, CRC
+    deterministic — both attached and checked via one MXU matmul each
+    inside the jitted step) and the detected/undetected counters are
+    CRC-GATED: detected = outer CRC failed, undetected = CRC passed on
+    a wrong payload (false ACK).  frame/bit errors stay genie-counted
+    over the PAYLOAD bits, and `.k` (bits credited per frame) excludes
+    the CRC overhead.  Incompatible with shortening (the CRC would
+    span frozen bits); puncturing composes fine.
     """
     from tpu_ldpc.decode.api import build_decode_fn
     from tpu_ldpc.encode.encoder import select_encoder
 
     encode_fn, k, info_cols = select_encoder(code)
     decode_fn = build_decode_fn(code, cfg)
+    if crc is not None:
+        from tpu_ldpc.codes.crc import (
+            get_spec, make_crc_attacher, make_crc_checker)
+
+        spec = get_spec(crc)
+        kp = k - spec.width
+        if kp <= 0:
+            raise ValueError(
+                f"{spec.name} width {spec.width} >= info length {k}")
+        if adapt is not None and not adapt.masks(
+                code.n, k, info_cols)[2].all():
+            raise ValueError("crc + shortening unsupported: the CRC "
+                             "would span frozen info bits")
+        crc_attach = make_crc_attacher(kp, spec)
+        crc_ok_fn = make_crc_checker(k, spec)
+    else:
+        kp = k
     if adapt is not None:
         from tpu_ldpc.channel.adapt import adapted_awgn_llrs
 
         k_eff, n_tx = adapt.dims(code.n, k)
         # Eb/N0 references energy actually transmitted per effective bit
-        rate = k_eff / n_tx
         tx_np, known_np, active_np = adapt.masks(code.n, k, info_cols)
         tx_mask, known_llr = jnp.asarray(tx_np), jnp.asarray(known_np)
         active_u = jnp.asarray(active_np)
     else:
         # true information rate (k may exceed the design dimension for
         # rank-deficient codes, e.g. terminated SC chains)
-        k_eff, rate = k, k / code.n
+        k_eff, n_tx = k, code.n
+    if crc is not None:
+        k_eff -= spec.width  # CRC bits are overhead, not information
+    rate = k_eff / n_tx
     info_cols_j = None if info_cols is None else jnp.asarray(info_cols)
 
     def one_batch(key, ebn0_db):
         key_u, key_n = jax.random.split(key)
-        u = jax.random.bernoulli(key_u, 0.5, (batch, k)).astype(jnp.uint8)
+        if crc is not None:
+            payload = jax.random.bernoulli(
+                key_u, 0.5, (batch, kp)).astype(jnp.uint8)
+            u = crc_attach(payload)
+        else:
+            u = jax.random.bernoulli(
+                key_u, 0.5, (batch, k)).astype(jnp.uint8)
         if adapt is not None:
             u = u * active_u
         c = encode_fn(u)
@@ -173,14 +210,19 @@ def build_batch_fn(code: LdpcCode, cfg: DecodeCfg, batch: int,
         wrong = info != u
         if adapt is not None:
             wrong = wrong & (active_u == 1)
+        if crc is not None:
+            wrong = wrong[:, :kp]  # genie errors over PAYLOAD bits
+            passed = crc_ok_fn(info)
         frame_wrong = jnp.any(wrong, axis=1)
+        det = ~passed if crc is not None else ~ok
+        undet = (passed if crc is not None else ok) & frame_wrong
         return jnp.stack(
             [
                 jnp.asarray(batch, jnp.int32),
                 jnp.sum(wrong, dtype=jnp.int32),
                 jnp.sum(frame_wrong, dtype=jnp.int32),
-                jnp.sum(~ok, dtype=jnp.int32),
-                jnp.sum(ok & frame_wrong, dtype=jnp.int32),
+                jnp.sum(det, dtype=jnp.int32),
+                jnp.sum(undet, dtype=jnp.int32),
                 jnp.sum(iters_used, dtype=jnp.int32),
             ]
         )
@@ -196,6 +238,7 @@ def build_mc_step(
     batch: int,
     steps_per_call: int = 1,
     adapt=None,
+    crc=None,
 ):
     """Jitted MC step: (seed, snr_idx, ebn0_db, ctr0) -> counter vector.
 
@@ -207,7 +250,7 @@ def build_mc_step(
     for any steps_per_call grouping.
     """
     one_batch = build_batch_fn(code, cfg, batch, adapt,
-                               fault_hook=_FAULT_HOOK)
+                               fault_hook=_FAULT_HOOK, crc=crc)
 
     @jax.jit
     def step(seed, snr_idx, ebn0_db, ctr0):
@@ -245,6 +288,7 @@ def run_ber(
     steps_per_call: int | None = None,
     step_log: str | None = None,
     adapt=None,
+    crc=None,
 ) -> list[SnrResult]:
     """Frame-error-targeted Eb/N0 sweep.  Single-device unless `mesh`
     is given (then the batch is sharded; see tpu_ldpc.dist).
@@ -253,6 +297,9 @@ def run_ber(
     (SURVEY.md §5: snr, cumulative frames/errors, mean iters, wall
     time, decoded info bits/s).
     adapt: optional channel.adapt.RateAdapt puncturing/shortening spec.
+    crc: optional outer CRC (codes/crc.py name or CrcSpec) — attaches
+    CRC bits to the info block and gates the detected/undetected
+    counters on it (see build_batch_fn).
     """
     if mesh is not None:
         from tpu_ldpc.dist.mesh import run_ber_sharded
@@ -261,10 +308,11 @@ def run_ber(
             code, ebn0_grid, cfg, batch, target_frame_errors, max_frames,
             seed, mesh, progress=progress, state=state,
             steps_per_call=steps_per_call, step_log=step_log, adapt=adapt,
+            crc=crc,
         )
     if steps_per_call is None:
         steps_per_call = default_steps_per_call()
-    step = build_mc_step(code, cfg, batch, steps_per_call, adapt)
+    step = build_mc_step(code, cfg, batch, steps_per_call, adapt, crc)
     results = []
     for snr_idx, ebn0 in enumerate(ebn0_grid):
         res = SnrResult(ebn0_db=float(ebn0))

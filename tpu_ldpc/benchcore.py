@@ -42,7 +42,8 @@ class LoopTimer:
     point.  `inner` steps run per dispatch.
     """
 
-    def __init__(self, x, scale: float, sig: float, inner: int = 20):
+    def __init__(self, x, scale: float, sig: float, inner: int = 20,
+                 mask=None):
         import jax
         import jax.numpy as jnp
 
@@ -51,7 +52,16 @@ class LoopTimer:
         self.scale = float(scale)
         self.sig = float(sig)
         self.inner = int(inner)
+        # optional (n,) 0/1 channel mask (punctured positions enter the
+        # decoder as erasures — the NR operating condition); applied in
+        # BOTH loops so the subtraction stays symmetric
+        self.maskj = (None if mask is None
+                      else jnp.asarray(np.asarray(mask), jnp.float32))
         self._gen_loop = self._make_loop(None)
+        # traced-op-point loops (measure_at): keyed BY THE DECODER
+        # OBJECT (the dict entry keeps it alive — never key a cache by
+        # bare id(), CLAUDE.md bug class)
+        self._traced = {}
 
     def _make_loop(self, dec):
         jax = self._jax
@@ -78,6 +88,8 @@ class LoopTimer:
                 # (0.58 vs 1.2 Gb/s).
                 a_i = 1.0 + i.astype(jnp.float32) * (0.02 / inner)
                 llr = (scale * a_i) * (xj + noise0)
+                if self.maskj is not None:
+                    llr = llr * self.maskj
                 if dec is None:
                     # full-tensor reduction so generation can't be DCE'd;
                     # identical term exists in neither loop's decode path,
@@ -97,6 +109,68 @@ class LoopTimer:
             return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
 
         return many
+
+    def _make_traced_loop(self, dec):
+        """Like _make_loop but (scale, sig) are TRACED scalars: one
+        compile serves every operating point — required for HARQ
+        per-stage sweeps (a closure-constant loop would recompile per
+        Eb/N0).  The judged bench path (measure) is untouched."""
+        jax = self._jax
+        import jax.numpy as jnp
+
+        xj, inner, maskj = self.xj, self.inner, self.maskj
+
+        @jax.jit
+        def many(key0, scale, sig):
+            noise0 = sig * jax.random.normal(key0, xj.shape, jnp.float32)
+
+            def body(i, acc):
+                a_i = 1.0 + i.astype(jnp.float32) * (0.02 / inner)
+                llr = (scale * a_i) * (xj + noise0)
+                if maskj is not None:
+                    llr = llr * maskj
+                if dec is None:
+                    return acc + jnp.sum(llr).astype(jnp.int32)
+                bits, ok, iu = dec(llr)
+                return (acc + jnp.sum(iu)
+                        + jnp.sum(ok.astype(jnp.int32))
+                        + jnp.sum(bits.astype(jnp.int32)))
+
+            return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+
+        return many
+
+    def measure_at(self, dec, scale: float, sig: float,
+                   reps: int = 5) -> dict:
+        """measure() at an explicit (scale, sig) operating point using
+        the traced loops; per-(dec) compile happens once, later points
+        re-dispatch the same executable."""
+        jax = self._jax
+        import jax.numpy as jnp
+
+        sc = jnp.asarray(scale, jnp.float32)
+        sg = jnp.asarray(sig, jnp.float32)
+        for k in (None, dec):
+            if k not in self._traced:
+                self._traced[k] = self._make_traced_loop(k)
+        loop, gen = self._traced[dec], self._traced[None]
+        jax.block_until_ready(loop(jax.random.key(999), sc, sg))
+        jax.block_until_ready(gen(jax.random.key(998), sc, sg))
+        dec_s, gen_s = [], []
+        for r in range(int(reps)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(jax.random.key(2 * r), sc, sg))
+            dec_s.append((time.perf_counter() - t0) / self.inner)
+            t0 = time.perf_counter()
+            jax.block_until_ready(gen(jax.random.key(2 * r + 1), sc, sg))
+            gen_s.append((time.perf_counter() - t0) / self.inner)
+        deltas = [d - g for d, g in zip(dec_s, gen_s)]
+        return {
+            "median_s": float(np.median(deltas)),
+            "best_s": float(min(deltas)),
+            "dec_ms": [round(d * 1e3, 4) for d in dec_s],
+            "gen_ms": [round(g * 1e3, 4) for g in gen_s],
+        }
 
     def measure(self, dec, reps: int = 7) -> dict:
         """Time `dec` (llr -> (bits, ok, iters_used)); returns per-batch
@@ -125,17 +199,29 @@ class LoopTimer:
 
 
 def make_timer(code, batch: int, ebn0_db: float = 2.0, inner: int = 20,
-               seed: int = 0):
+               seed: int = 0, n_punct: int = 0,
+               rate: float | None = None):
     """LoopTimer over `batch` random encoded frames of `code` at the
-    given operating point; also returns the info bits u for FER checks."""
+    given operating point; also returns the info bits u for FER checks.
+
+    n_punct: leading never-transmitted positions (erasure LLRs — the
+    NR operating condition); Eb/N0 then references k/(n - n_punct)
+    unless `rate` overrides it (HARQ stages reference the FIRST
+    transmission's payload rate, whatever truncation is decoded)."""
     from tpu_ldpc.channel import noise_sigma2
     from tpu_ldpc.golden import encode as golden_encode
 
     rng = np.random.default_rng(seed)
-    sigma2 = noise_sigma2(ebn0_db, code.rate)
+    if rate is None:
+        rate = (code.k / (code.n - n_punct)) if n_punct else code.rate
+    sigma2 = noise_sigma2(ebn0_db, rate)
     u = rng.integers(0, 2, (batch, code.k)).astype(np.uint8)
     c = golden_encode(code.H, u)
     x = (1.0 - 2.0 * c).astype(np.float32)
+    mask = None
+    if n_punct:
+        mask = np.ones(code.n, np.float32)
+        mask[:n_punct] = 0.0
     timer = LoopTimer(x, scale=2.0 / sigma2, sig=float(np.sqrt(sigma2)),
-                      inner=inner)
+                      inner=inner, mask=mask)
     return timer, u

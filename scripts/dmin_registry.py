@@ -47,12 +47,13 @@ def cells():
     # of the MOTHER code (all columns, incl. the two punctured blocks)
     # — the quantity that governs undetected errors at the decoder,
     # which always sees the full codeword.
-    for rate in ("1/2", "2/3", "3/4", "5/6"):
-        code = nrlike_code(rate, 64)
-        yield (code.name, code)
-    for rate in ("1/5", "2/7", "2/5", "1/2", "2/3"):
-        code = nrlike_code(rate, 64, bg=2)
-        yield (code.name, code)
+    for z in (64, 32):  # z32 added r5 (VERDICT r4 #9)
+        for rate in ("1/2", "2/3", "3/4", "5/6"):
+            code = nrlike_code(rate, z)
+            yield (code.name, code)
+        for rate in ("1/5", "2/7", "2/5", "1/2", "2/3"):
+            code = nrlike_code(rate, z, bg=2)
+            yield (code.name, code)
 
 
 def _write_atomic(rows):

@@ -153,3 +153,35 @@ class TestBG2:
         assert code.name == f"nr2_r25_z{Z}"
         adapt = ChannelCfg().build_adapt(code)
         assert adapt is not None and len(adapt.puncture) == 2 * Z
+
+
+def test_z32_second_lift_registry_cells():
+    """r5 (VERDICT r4 #9): the NR construction generalizes across Z —
+    the z32 ladder builds 4-cycle-free at every rate point on both
+    base graphs, with the right dimensions, and the easy-SNR decode
+    smoke passes through the standard punctured channel."""
+    from tpu_ldpc.channel import noise_sigma2
+    from tpu_ldpc.golden import encode as golden_encode
+    from tpu_ldpc.decode.api import build_decode_fn
+    from tpu_ldpc.sim.mc import DecodeCfg
+
+    for bg, rates, kb in ((1, ("1/2", "5/6"), 22), (2, ("1/5", "2/3"), 10)):
+        for rate in rates:
+            code = nrlike_code(rate, 32, bg=bg)
+            assert code.name == f"nr{bg}_r{rate.replace('/', '')}_z32"
+            assert code.k == kb * 32
+            assert count_4cycles(code.B, 32) == 0
+    # decode smoke on one cell per graph at a generous punctured point
+    rng = np.random.default_rng(7)
+    for bg, rate, ebn0 in ((1, "1/2", 5.0), (2, "2/3", 7.0)):
+        code = nrlike_code(rate, 32, bg=bg)
+        u = rng.integers(0, 2, (8, code.k)).astype(np.uint8)
+        c = golden_encode(code.H, u)
+        x = 1.0 - 2.0 * c.astype(np.float64)
+        s2 = noise_sigma2(ebn0, code.k / (code.n - 64))
+        llr = ((2.0 / s2) * (x + np.sqrt(s2) * rng.normal(size=x.shape))
+               ).astype(np.float32)
+        llr[:, :64] = 0.0
+        bits, ok, _ = build_decode_fn(
+            code, DecodeCfg(impl="jnp", iters=30))(llr)
+        assert (np.asarray(bits)[:, : code.k] == u).all()

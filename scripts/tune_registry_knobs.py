@@ -80,6 +80,15 @@ def main():
         for rate, ebn0 in (("1/2", 1.65), ("2/3", 2.6), ("3/4", 2.9),
                            ("5/6", 3.4)):
             yield (nrlike_code(rate, 64), ebn0)
+        # z32 second lift (r5, VERDICT r4 #9): +0.4 dB for the shorter
+        # blocks (CPU probes 2026-08-21); nr2 z32 rates included (the
+        # nr2 z64 knobs were measured by a separate r4 session script)
+        for rate, ebn0 in (("1/2", 2.05), ("2/3", 3.0), ("3/4", 3.3),
+                           ("5/6", 3.8)):
+            yield (nrlike_code(rate, 32), ebn0)
+        for rate, ebn0 in (("1/5", 1.4), ("2/7", 1.7), ("2/5", 2.1),
+                           ("1/2", 2.4), ("2/3", 3.0)):
+            yield (nrlike_code(rate, 32, bg=2), ebn0)
 
     for code, ebn0 in all_cells():
                 cell = code.name

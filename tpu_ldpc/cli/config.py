@@ -62,6 +62,10 @@ class ChannelCfg:
     # mother code to puncture (any block) / shorten (info blocks only)
     puncture_blocks: tuple = ()
     shorten_blocks: tuple = ()
+    # outer CRC (codes/crc.py name, e.g. "crc24"): attaches CRC bits
+    # to the info block and gates the detected/undetected counters on
+    # it (sim/mc.py build_batch_fn; VERDICT r4 #1)
+    crc: str | None = None
 
     def build_adapt(self, code):
         """RateAdapt for this config, or None when not adapted.

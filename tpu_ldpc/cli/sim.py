@@ -44,6 +44,10 @@ def build_parser():
                    help="fixed-point emulation: APP width (default bits+2)")
     p.add_argument("--puncture-blocks", type=int, nargs="+", metavar="B",
                    help="block-columns to puncture (rate adaptation)")
+    p.add_argument("--crc", choices=["crc8", "crc16", "crc24", "crc32"],
+                   help="attach an outer CRC to the info block and "
+                        "gate detected/undetected counters on it "
+                        "(codes/crc.py)")
     p.add_argument("--shorten-blocks", type=int, nargs="+", metavar="B",
                    help="info block-columns to shorten (rate adaptation)")
     p.add_argument("--impl", choices=["auto", "jnp", "pallas", "twophase"])
@@ -92,6 +96,7 @@ def args_to_config(args):
         "run.state_path": args.checkpoint, "run.out_csv": args.csv,
         "run.jsonl": args.jsonl,
         "run.step_jsonl": args.step_jsonl,
+        "channel.crc": args.crc,
     }
     for k, v in direct.items():
         if v is not None:
@@ -170,6 +175,7 @@ def main(argv=None):
         state=state,
         step_log=cfg.run.step_jsonl or None,
         adapt=adapt,
+        crc=cfg.channel.crc,
     )
     wall = time.time() - t0
     if profile_ctx is not None:

@@ -134,6 +134,8 @@ RESCUABLE = (
     "sp_layered_twophase_et_2dB_gbps",
     "layered_tp_n_unconv",
     "layered_tp_fallback",
+    "sp_tp_n_unconv",
+    "sp_tp_fallback",
     "layered25_equivFER_gbps",
     "minsum_twophase_et_2dB_gbps",
     "minsum_tp_n_unconv",
@@ -281,9 +283,9 @@ def _extras_sweep(extras, timer, build, code, batch, iters):
     import jax
     import jax.numpy as jnp
 
-    def fallback_probe(kw):
+    def fallback_probe(kw, algo="minsum"):
         def run():
-            tpf = build_twophase_decoder(code, algo="minsum", alpha=0.75,
+            tpf = build_twophase_decoder(code, algo=algo, alpha=0.75,
                                          report_fallback=True, **kw)
             llr = timer.scale * (timer.xj + timer.sig * jax.random.normal(
                 jax.random.key(7), timer.xj.shape, jnp.float32))
@@ -295,6 +297,14 @@ def _extras_sweep(extras, timer, build, code, batch, iters):
                                 schedule="layered")))
     if "layered_tp_n_unconv" in extras:
         extras["layered_tp_fallback"] = extras["layered_tp_n_unconv"] > 768
+    # SP champion fallback indicator too (review r5: the zero-fallback
+    # claim for sp_layered_twophase was otherwise unverifiable from
+    # the artifact)
+    _robust(extras, "sp_tp_n_unconv",
+            fallback_probe(dict(iters=25, phase1_iters=8, budget=384,
+                                schedule="layered"), algo="sumproduct"))
+    if "sp_tp_n_unconv" in extras:
+        extras["sp_tp_fallback"] = extras["sp_tp_n_unconv"] > 384
     # lesser variants, in descending result order
     _robust(extras, "layered25_equivFER_gbps",
             lambda: gbps(build(early_stop=False, schedule="layered",

@@ -19,6 +19,8 @@ CURVES = [
     ("nr1_r12_z64 minsum-50 (punctured)", "nr1_r12_z64_minsum50.csv"),
     ("nr1_r56_z64 minsum-50 (punctured)", "nr1_r56_z64_minsum50.csv"),
     ("nr2_r15_z64 rate-1/5 (punctured)", "nr2_r15_z64_minsum50.csv"),
+    ("nr1_r12_z32 minsum-50 (punctured)", "nr1_r12_z32_minsum50.csv"),
+    ("nr2_r15_z32 rate-1/5 (punctured)", "nr2_r15_z32_minsum50.csv"),
 ]
 
 

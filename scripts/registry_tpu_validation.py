@@ -24,8 +24,8 @@ statistically thin NR cells (worst CI span 6.6x) reach the 20-FE
 target; compile is amortized across chunks so the cost is linear in
 frames only.
 
-r5 (VERDICT r4 #3): a second pass validates the 9 NR cells at their
-OPERATING condition — the always-punctured first-two-blocks channel
+r5 (VERDICT r4 #3): a second pass validates the 18 NR cells (9 rate
+points x lifts 32/64) at their OPERATING condition — the always-punctured first-two-blocks channel
 (codes/nrlike.nrlike_adapt), Eb/N0 referenced to the true transmitted
 rate k/(n-2Z) at each family's advertised waterfall point — writing
 artifacts/nr_operating_validation.csv (same bit-exactness gate; the
@@ -100,10 +100,12 @@ def cells():
 
 
 def nr_operating_cells():
-    """The 9 NR cells at their OPERATING (punctured) condition: Eb/N0
-    at each family's advertised waterfall point, referenced to the
-    true transmitted rate (BASELINE.md NR sections; unknown mid-rate
-    cells interpolated into the waterfall region)."""
+    """The 18 NR cells (9 rate points x lifts {32, 64}) at their
+    OPERATING (punctured) condition: Eb/N0 at each family's advertised
+    waterfall point, referenced to the true transmitted rate
+    (BASELINE.md NR sections; unknown mid-rate cells interpolated into
+    the waterfall region; z32 carries a flat +0.4 dB shift anchored on
+    CPU probes of r12/r56/r15/r23[bg2])."""
     from tpu_ldpc.codes.nrlike import nrlike_code
 
     points = {(1, "1/2"): 1.6, (1, "2/3"): 2.4, (1, "3/4"): 2.8,
@@ -144,10 +146,15 @@ def _write_atomic(rows, path, order):
     os.replace(tmp, path)
 
 
-def _done(prev):
+def _done(prev, ebn0):
     """True iff a recorded row meets the SAME stopping criterion a
-    fresh run uses (ADVICE r4: resume must not keep thinner rows)."""
+    fresh run uses (ADVICE r4: resume must not keep thinner rows) AND
+    was measured at the CURRENT operating point (review r5: an edited
+    Eb/N0 map must invalidate stale rows, or the artifact silently
+    reports FERs at points the docs no longer cite)."""
     if not prev or prev["bitexact"] != "True":
+        return False
+    if abs(float(prev["ebn0_db"]) - ebn0) > 1e-9:
         return False
     frames = int(prev["frames"])
     fe = round(float(prev["fer"]) * frames)
@@ -176,7 +183,7 @@ def main():
         order = [c for c, *_ in work]
         for cell, build_fn, rate_str, ebn0 in work:
             prev = rows.get(cell)
-            if _done(prev):
+            if _done(prev, ebn0):
                 print(f"{cell}: already validated "
                       f"({prev['frames']} frames), skip", flush=True)
                 continue

@@ -16,6 +16,14 @@ Expected: the syndrome arm shows O(census) undetected events; the
 crc24 arm shows ZERO (leakage 2^-24 per near-codeword event).  A
 nonzero crc24 count would be a finding.
 
+Caveat (review r5): the arms share ebn0_db but NOT noise level — the
+CRC arm's Eb/N0 references the PAYLOAD rate (616/n_tx vs 640/n_tx),
+so it runs ~0.17 dB noisier with 24 deterministic info bits.  That
+makes the zero-false-ACK conclusion CONSERVATIVE (the CRC arm sees
+more failure events per frame), but the per-point undetected_rate
+columns are not a noise-matched A/B; to noise-match, run the
+syndrome arm at ebn0_db - 10*log10(640/616).
+
 Writes artifacts/crc_undetected.json (atomic).  One TPU process at a
 time.
 """

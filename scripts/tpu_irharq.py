@@ -13,8 +13,10 @@ Per Eb/N0 point and ladder (BG1 kb=22, BG2 kb=10):
     costs occupancy p_s x t_s) and the full-vector lower bound (every
     stage decodes everything — what sim/harq.py itself does).
 
-Stages whose occupancy is < MIN_OCC are not timed (their time share is
-< ~0.1%); the artifact records them as occ-skipped.
+Every stage is timed (compiles are cached per stage via the traced
+operating point, so extra points are cheap): the full-vector bound
+needs EVERY stage's cost by definition; the active-batching metric
+weights by occupancy.
 
 Writes artifacts/nr1_irharq.json (atomic).  One TPU process at a time.
 """
@@ -101,19 +103,26 @@ def main():
             r = run_irharq(Z=64, stage_m=stage_m, ebn0_db=ebn0,
                            batch=BATCH, iters=ITERS, seed=0,
                            impl="auto", bg=bg, crc="crc24")
-            # occupancy entering each stage (fraction still NACKed)
+            # occupancy entering each stage (fraction still NACKed).
+            # EVERY stage is timed (compile is cached per stage, later
+            # points re-dispatch): t_full must include zero-occupancy
+            # stages — "decode everything every stage" is its meaning
+            # (review r5: skipping them inflated the bound several-
+            # fold) — while t_lane weights by occupancy, where an
+            # occ < MIN_OCC stage contributes < ~0.1% and may skip.
             occ = [1.0] + [s["fer_after"] for s in r.stages[:-1]]
             stage_t = []
             t_lane = t_full = 0.0
+            lane_ok = full_ok = True
             for si, p in enumerate(occ):
-                if p < MIN_OCC:
-                    stage_t.append({"occ": p, "skipped": "occ<min"})
-                    continue
                 try:
                     t_s, meas = stage_cost_s(si, ebn0)
                 except Exception as e:  # noqa: BLE001 — keep sweeping
                     stage_t.append({"occ": p,
                                     "error": f"{type(e).__name__}: {e}"})
+                    full_ok = False
+                    if p >= MIN_OCC:
+                        lane_ok = False  # metric would be inflated
                     continue
                 stage_t.append({"occ": p, "s_per_frame": t_s,
                                 "dec_ms": meas["dec_ms"]})
@@ -133,10 +142,10 @@ def main():
                 "stage_timing": stage_t,
                 "eff_info_gbps_active_batching": (
                     kp * (1 - r.residual_fer) / t_lane / 1e9
-                    if t_lane else None),
+                    if t_lane and lane_ok else None),
                 "eff_info_gbps_full_vector": (
                     kp * (1 - r.residual_fer) / t_full / 1e9
-                    if t_full else None),
+                    if t_full and full_ok else None),
                 "wall_s": round(time.time() - t0, 1),
             }
             lad["points"].append(point)

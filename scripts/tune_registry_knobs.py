@@ -120,6 +120,18 @@ def main():
                     _dump_atomic(OUT, results)
                     print(f"{cell}: SKIP ({e})", flush=True)
                     continue
+                except Exception as e:  # noqa: BLE001 — review r5: a
+                    # runtime fault in a PRIOR cell's measure poisons
+                    # the process, so the next tune can raise too;
+                    # record and keep sweeping (one fault costs only
+                    # the cells it actually hits)
+                    results["cells"][cell] = {
+                        "error": f"tune: {type(e).__name__}: {e}",
+                        "wall_s": round(time.time() - t0, 1)}
+                    _dump_atomic(OUT, results)
+                    print(f"{cell}: TUNE FAILED ({type(e).__name__}) "
+                          "— continuing", flush=True)
+                    continue
                 # ADVICE r4: on the NR cells, tune + benchcore measure
                 # in ONE process reproducibly faults the remote
                 # runtime (CLAUDE.md r4 landmine) — a crash here must
@@ -149,6 +161,19 @@ def main():
                         "K": K, "budget": budget,
                         "wall_s": round(time.time() - t0, 1)}
                     _dump_atomic(OUT, results)
+                    # review r5: the tuned knobs are still better than
+                    # the rate-derived fallback — ship them to the
+                    # registry with honest unmeasured provenance (a
+                    # later successful sweep overwrites)
+                    if not (prior and "measured" in prior.get(
+                            "source", "")):
+                        knobs["cells"].setdefault(cell, {})["layered"] = {
+                            "K": K, "budget": budget, "iters": ITERS,
+                            "ebn0_db": ebn0,
+                            "source": ("tuned " + time.strftime("%Y-%m-%d")
+                                       + ", measure failed "
+                                       "(scripts/tune_registry_knobs.py)")}
+                        _dump_atomic(KNOBS, knobs)
                     print(f"{cell}: MEASURE FAILED "
                           f"({type(e).__name__}: {e}) — tuned knobs "
                           "recorded, continuing", flush=True)
@@ -164,7 +189,8 @@ def main():
                 knobs["cells"].setdefault(cell, {})["layered"] = {
                     "K": K, "budget": budget, "iters": ITERS,
                     "ebn0_db": ebn0,
-                    "source": (f"measured r4 {gbps} Gb/s "
+                    "source": ("measured " + time.strftime("%Y-%m-%d")
+                               + f" {gbps} Gb/s "
                                "(scripts/tune_registry_knobs.py)")}
                 _dump_atomic(KNOBS, knobs)
                 print(cell, row, flush=True)

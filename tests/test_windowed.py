@@ -146,3 +146,52 @@ def test_windowed_schedule_in_mc_harness():
                   target_frame_errors=5, max_frames=64, seed=0)[0]
     assert res.frames > 0
     assert res.fer < 0.5  # high SNR: mostly decodes
+
+
+def test_full_window_layered_equals_reference_layered():
+    """r5 layered sweep pin: W = mb, one slide, I layered iterations
+    == reference layered-I bit-exactly (same per-edge arithmetic:
+    p_new = (p_rot - R_old) + r_out, set back in variable coords)."""
+    code = sc_code(L=8, Z=8)
+    iters = 10
+    llr = noisy_zero_llrs(code, 1.0, batch=16)
+    win = build_windowed_decoder(
+        code, window=code.mb, iters_per_window=iters, sweep="layered")
+    ref = build_decoder(
+        code, algo="minsum", iters=iters, early_stop=False,
+        schedule="layered")
+    bw, okw, _ = map(np.asarray, win(llr))
+    br, okr, _ = map(np.asarray, ref(llr))
+    np.testing.assert_array_equal(bw, br)
+    np.testing.assert_array_equal(okw, okr)
+
+
+def test_layered_sweep_beats_flooding_sweep():
+    """The layered sweep rides the slide direction: at equal
+    (W, iters/slide) it must decode at least as many frames on a
+    fixed noisy batch (the r2 directional-wave result, inside the
+    window)."""
+    code = sc_code(L=16, Z=8)
+    llr = noisy_zero_llrs(code, 1.6, batch=96)
+    flood = build_windowed_decoder(code, window=6, iters_per_window=2)
+    lay = build_windowed_decoder(code, window=6, iters_per_window=2,
+                                 sweep="layered")
+    bf = np.asarray(flood(llr)[0])
+    bl = np.asarray(lay(llr)[0])
+    wrong_f = int((bf.any(axis=1)).sum())
+    wrong_l = int((bl.any(axis=1)).sum())
+    assert wrong_l <= wrong_f
+    # and via the MC-config path (DecodeCfg plumbing)
+    from tpu_ldpc.decode.api import build_decode_fn
+    from tpu_ldpc.sim.mc import DecodeCfg
+
+    dec = build_decode_fn(code, DecodeCfg(
+        schedule="windowed", window=6, iters=2, window_sweep="layered",
+        impl="jnp"))
+    np.testing.assert_array_equal(np.asarray(dec(llr)[0]), bl)
+
+
+def test_layered_sweep_invalid_rejected():
+    code = sc_code(L=8, Z=8)
+    with pytest.raises(ValueError, match="sweep"):
+        build_windowed_decoder(code, window=4, sweep="nope")

@@ -51,6 +51,7 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
         return build_windowed_decoder(
             code, window=cfg.window, iters_per_window=cfg.iters,
             algo=cfg.algo, alpha=cfg.alpha, beta=cfg.beta,
+            sweep=getattr(cfg, "window_sweep", "flooding"),
         )
     # Long-blocklength routing: when the code's message state exceeds
     # the fused kernel's VMEM budget at the minimum batch tile and the

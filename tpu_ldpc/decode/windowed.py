@@ -91,16 +91,31 @@ def build_windowed_decoder(
     alpha: float = 0.75,
     beta: float = 0.0,
     dtype=jnp.float32,
+    sweep: str = "flooding",
 ):
     """Jitted windowed decoder: llr (batch, n) -> (bits, ok, iters_used).
 
     `window` counts block-rows; each slide runs `iters_per_window`
-    flooding iterations on those rows, then advances one row.
-    iters_used is the constant total (n_windows * iters_per_window) —
-    windowed decoding has no global early-termination point.
+    iterations on those rows, then advances one row.  iters_used is
+    the constant total (n_windows * iters_per_window) — windowed
+    decoding has no global early-termination point.
+
+    sweep (r5): the within-window schedule — 'flooding' (CN pass on
+    all window rows, then one VN pass) or 'layered' (rows swept
+    top-to-bottom with immediate posterior updates, the same
+    arithmetic contract as the reference layered decoder: per edge
+    p_new = (p_rot - R_old) + r_out, set back in variable
+    coordinates).  The layered sweep points the same direction as the
+    window slide, reinforcing the decode wave — measured to need
+    fewer iterations per position for equal FER (the r2 full-graph
+    result that row-layered halves SC FER at equal iters, now inside
+    the window).  A full-width single-slide layered window reproduces
+    the reference layered decoder bit-exactly (tests/test_windowed).
     """
     if algo not in ("minsum", "sumproduct", "sumproduct-fast"):
         raise ValueError(f"unknown algo {algo!r}")
+    if sweep not in ("flooding", "layered"):
+        raise ValueError(f"unknown sweep {sweep!r}")
     S_np, M_np = banded_tables(code)
     Z, nb, mb = code.Z, code.nb, code.mb
     W = int(window)
@@ -254,8 +269,43 @@ def build_windowed_decoder(
                     cols.append(pc)
                 return jnp.stack(cols, axis=1), Rn
 
+            def one_iter_layered(_, PR):
+                # rows swept top-to-bottom with immediate posterior
+                # set-back — the reference layered arithmetic
+                # (p_new = (p_rot - R_old) + r_out in check coords,
+                # rolled back and SET).  The invariant P == L + sum of
+                # rolled R over ALL slab rows is preserved per row
+                # update, so frozen rows' contributions ride inside P
+                # without a VN pass.
+                Pw, Rw = PR
+                for rp in range(2, W + 2):
+                    qs, ms = [], []
+                    for j in range(_DEG):
+                        c = 2 * rp + j - 4
+                        qs.append(
+                            jnp.roll(Pw[:, c, :], -Sw[rp, j], axis=-1)
+                            - Rw[:, rp, j, :]
+                        )
+                        ms.append(Mw[rp, j])
+                    outs = cn_row(qs, ms)
+                    for j in range(_DEG):
+                        c = 2 * rp + j - 4
+                        p_new = jnp.roll(qs[j] + outs[j], Sw[rp, j],
+                                         axis=-1)
+                        # absent edges: q already reconstructs P and
+                        # out is 0, so p_new == P; the where is a
+                        # safety net, not arithmetic
+                        Pw = Pw.at[:, c, :].set(
+                            jnp.where(Mw[rp, j], p_new, Pw[:, c, :]))
+                        Rw = Rw.at[:, rp, j, :].set(
+                            jnp.where(Mw[rp, j], outs[j],
+                                      Rw[:, rp, j, :]))
+                return Pw, Rw
+
             Pw, Rw = jax.lax.fori_loop(
-                0, iters_per_window, one_iter, (Pw, Rw)
+                0, iters_per_window,
+                one_iter if sweep == "flooding" else one_iter_layered,
+                (Pw, Rw)
             )
             P = jax.lax.dynamic_update_slice_in_dim(P, Pw, 2 * p, axis=1)
             R = jax.lax.dynamic_update_slice_in_dim(

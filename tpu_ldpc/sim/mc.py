@@ -37,8 +37,11 @@ class DecodeCfg:
     impl: str = "auto"  # 'auto' | 'jnp' | 'pallas' | 'twophase'
     # schedule='windowed' only (SC-LDPC chains, decode/windowed.py):
     # window width in block-rows; cfg.iters then counts iterations PER
-    # WINDOW SLIDE, not total
+    # WINDOW SLIDE, not total.  window_sweep picks the within-window
+    # schedule ('flooding' | 'layered' — the layered sweep rides the
+    # slide direction and needs fewer iters/position, r5)
     window: int = 8
+    window_sweep: str = "flooding"
     # fixed-point hardware-emulation mode (min-sum only; golden contract
     # in tpu_ldpc/golden/decoder.py): message bits / LSB step / APP bits
     quant_bits: int | None = None

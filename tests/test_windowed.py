@@ -195,3 +195,22 @@ def test_layered_sweep_invalid_rejected():
     code = sc_code(L=8, Z=8)
     with pytest.raises(ValueError, match="sweep"):
         build_windowed_decoder(code, window=4, sweep="nope")
+
+
+@pytest.mark.deep
+@pytest.mark.parametrize("algo", ["sumproduct", "sumproduct-fast"])
+def test_full_window_layered_equals_reference_layered_sp(algo):
+    """Layered-sweep pin extends to the SP algorithms (same plumbing,
+    2x cost — deep set like the flooding SP pins)."""
+    code = sc_code(L=8, Z=8)
+    iters = 8
+    llr = noisy_zero_llrs(code, 1.0, batch=8)
+    win = build_windowed_decoder(
+        code, window=code.mb, iters_per_window=iters, algo=algo,
+        sweep="layered")
+    ref = build_decoder(code, algo=algo, iters=iters, early_stop=False,
+                        schedule="layered")
+    bw, okw, _ = map(np.asarray, win(llr))
+    br, okr, _ = map(np.asarray, ref(llr))
+    np.testing.assert_array_equal(bw, br)
+    np.testing.assert_array_equal(okw, okr)

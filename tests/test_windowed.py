@@ -214,3 +214,15 @@ def test_full_window_layered_equals_reference_layered_sp(algo):
     br, okr, _ = map(np.asarray, ref(llr))
     np.testing.assert_array_equal(bw, br)
     np.testing.assert_array_equal(okw, okr)
+
+
+def test_window_sweep_rejected_outside_windowed_schedule():
+    """window_sweep on a non-windowed schedule is an ignored knob —
+    reject (same policy as quant_bits, review r5)."""
+    from tpu_ldpc.decode.api import build_decode_fn
+    from tpu_ldpc.sim.mc import DecodeCfg
+
+    code = sc_code(L=8, Z=8)
+    with pytest.raises(ValueError, match="window_sweep"):
+        build_decode_fn(code, DecodeCfg(schedule="flooding",
+                                        window_sweep="layered"))

@@ -37,6 +37,14 @@ def build_decode_fn(code: LdpcCode, cfg, mesh=None, mesh_axis: str = "tp"):
             "windowed schedule; it is only plumbed through the soft "
             "flooding/layered BP paths"
         )
+    # window_sweep only means something inside the windowed schedule —
+    # reject rather than silently run plain flooding labeled as a
+    # layered-sweep result (same ignored-knob policy as quant_bits)
+    if (getattr(cfg, "window_sweep", "flooding") != "flooding"
+            and getattr(cfg, "schedule", "flooding") != "windowed"):
+        raise ValueError(
+            "window_sweep applies only to schedule='windowed'"
+        )
     if cfg.algo in ("bitflip", "wbf"):
         # hard-decision decoders: integer-cheap, XLA-compiled jnp is
         # already at the memory floor (see decode/hard.py docstring)

@@ -26,10 +26,12 @@ Per-edge shifts (which do vary along the chain) ride in a sliced
 (W+4, 6) table and feed traced-shift rolls.
 
 Semantics notes:
-  * Window rows are updated with the SAME flooding arithmetic as the
-    reference decoder (golden two-min contract), so a window covering
-    the full chain (W = mb) reproduces the reference flooding decoder
-    bit-exactly (tested).
+  * Window rows are updated with the SAME arithmetic as the reference
+    decoder for the chosen sweep (golden two-min contract): with
+    sweep='flooding' a window covering the full chain (W = mb)
+    reproduces the reference flooding decoder bit-exactly, and with
+    sweep='layered' (r5) it reproduces the reference LAYERED decoder
+    bit-exactly (both tested).
   * The VN (posterior) pass inside the slab also sums the FROZEN
     check messages of the two rows behind and the two (still-zero)
     rows ahead of the window — that is what makes windowed BP exact
@@ -238,19 +240,26 @@ def build_windowed_decoder(
             Sw = jax.lax.dynamic_slice_in_dim(S_pad, p, SLAB_R, axis=0)
             Mw = jax.lax.dynamic_slice_in_dim(M_pad, p, SLAB_R, axis=0)
 
+            def row_inputs(Pw, Rw, rp):
+                """Extrinsic CN inputs of slab row rp: per edge j,
+                q = roll(P_col, -S) - R_old, plus presence masks —
+                the q-construction contract shared by BOTH sweeps."""
+                qs, ms = [], []
+                for j in range(_DEG):
+                    c = 2 * rp + j - 4
+                    qs.append(
+                        jnp.roll(Pw[:, c, :], -Sw[rp, j], axis=-1)
+                        - Rw[:, rp, j, :]
+                    )
+                    ms.append(Mw[rp, j])
+                return qs, ms
+
             def one_iter(_, PR):
                 Pw, Rw = PR
                 # CN pass on the window rows (slab rows 2..W+1)
                 new_rows = []
                 for rp in range(2, W + 2):
-                    qs, ms = [], []
-                    for j in range(_DEG):
-                        c = 2 * rp + j - 4
-                        qs.append(
-                            jnp.roll(Pw[:, c, :], -Sw[rp, j], axis=-1)
-                            - Rw[:, rp, j, :]
-                        )
-                        ms.append(Mw[rp, j])
+                    qs, ms = row_inputs(Pw, Rw, rp)
                     new_rows.append(jnp.stack(cn_row(qs, ms), axis=1))
                 Rn = jnp.concatenate(
                     [Rw[:, :2], jnp.stack(new_rows, axis=1), Rw[:, W + 2:]],
@@ -279,14 +288,7 @@ def build_windowed_decoder(
                 # without a VN pass.
                 Pw, Rw = PR
                 for rp in range(2, W + 2):
-                    qs, ms = [], []
-                    for j in range(_DEG):
-                        c = 2 * rp + j - 4
-                        qs.append(
-                            jnp.roll(Pw[:, c, :], -Sw[rp, j], axis=-1)
-                            - Rw[:, rp, j, :]
-                        )
-                        ms.append(Mw[rp, j])
+                    qs, ms = row_inputs(Pw, Rw, rp)
                     outs = cn_row(qs, ms)
                     for j in range(_DEG):
                         c = 2 * rp + j - 4

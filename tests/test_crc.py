@@ -188,3 +188,19 @@ def test_crc_sharded_matches_single_device():
         assert r.frame_errors <= r.detected + r.undetected
     # same operating point: FERs statistically close (paired tolerance)
     assert abs(single.fer - shard.fer) < 0.2
+
+
+def test_random_polynomial_fuzz(rng):
+    """Matrix == LFSR and attach/check round-trip over random
+    generator polynomials of random widths (the contract is
+    polynomial-independent)."""
+    for _ in range(12):
+        width = int(rng.integers(3, 33))
+        poly = int(rng.integers(1, 1 << width))
+        spec = crc.CrcSpec(f"f{width}", width, poly)
+        k = int(rng.integers(width + 1, 200))
+        u = rng.integers(0, 2, (8, k)).astype(np.uint8)
+        lfsr = crc.crc_remainder(u, spec)
+        mat = (u @ crc.crc_matrix(k, spec).T) % 2
+        np.testing.assert_array_equal(lfsr, mat.astype(np.uint8))
+        assert crc.check(crc.attach(u, spec), spec).all()
